@@ -1,0 +1,73 @@
+"""Self-contained JAX-native probability distributions.
+
+The reference delegates distributions to numpyro
+(reference: src/dynode/config/strains.py:8, infer/sample.py:11). DynODE-TPU
+ships its own minimal, fully jittable distribution library so the whole
+framework is standalone and every log-density/sampling path is a pure JAX
+function that fuses into the surrounding XLA program.
+"""
+
+from . import constraints, transforms
+from .constraints import Constraint
+from .continuous import (
+    Beta,
+    Cauchy,
+    Exponential,
+    Gamma,
+    HalfCauchy,
+    HalfNormal,
+    LogNormal,
+    MultivariateNormal,
+    Normal,
+    StudentT,
+    TruncatedNormal,
+    Uniform,
+)
+from .discrete import (
+    Bernoulli,
+    Binomial,
+    NegativeBinomial,
+    Poisson,
+)
+from .distribution import Delta, Distribution, TransformedDistribution
+from .transforms import (
+    AffineTransform,
+    ComposeTransform,
+    ExpTransform,
+    IdentityTransform,
+    SigmoidTransform,
+    Transform,
+    biject_to,
+)
+
+__all__ = [
+    "constraints",
+    "transforms",
+    "Constraint",
+    "Distribution",
+    "TransformedDistribution",
+    "Delta",
+    "Normal",
+    "LogNormal",
+    "HalfNormal",
+    "Cauchy",
+    "HalfCauchy",
+    "StudentT",
+    "Uniform",
+    "Exponential",
+    "Gamma",
+    "Beta",
+    "TruncatedNormal",
+    "MultivariateNormal",
+    "Poisson",
+    "Bernoulli",
+    "Binomial",
+    "NegativeBinomial",
+    "Transform",
+    "IdentityTransform",
+    "AffineTransform",
+    "ExpTransform",
+    "SigmoidTransform",
+    "ComposeTransform",
+    "biject_to",
+]

@@ -1,0 +1,150 @@
+"""Discrete distributions (observation-noise models).
+
+The reference's flagship inference example observes Poisson incidence
+(examples/sir_infer_parameters.py:33-38); NegativeBinomial is the common
+over-dispersed alternative in this model family.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp
+
+from . import constraints as C
+from .distribution import Distribution
+
+
+def _f(x):
+    return jnp.asarray(x, dtype=jnp.result_type(float))
+
+
+class Poisson(Distribution):
+    support = C.integer_nonnegative
+
+    def __init__(self, rate):
+        self.rate = rate
+        self._batch_shape = self._broadcast_batch_shape(rate)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.poisson(key, _f(self.rate), shape)
+
+    def log_prob(self, value):
+        k, lam = _f(value), _f(self.rate)
+        return k * jnp.log(lam) - lam - jsp.gammaln(k + 1.0)
+
+    @property
+    def mean(self):
+        return _f(self.rate)
+
+    @property
+    def variance(self):
+        return _f(self.rate)
+
+
+class Bernoulli(Distribution):
+    support = C.IntegerInterval(0, 1)
+
+    def __init__(self, probs=None, logits=None):
+        if (probs is None) == (logits is None):
+            raise ValueError("pass exactly one of probs or logits")
+        self._probs = probs
+        self._logits = logits
+        self._batch_shape = self._broadcast_batch_shape(
+            probs if probs is not None else logits
+        )
+
+    @property
+    def probs(self):
+        if self._probs is not None:
+            return _f(self._probs)
+        return jax.nn.sigmoid(_f(self._logits))
+
+    @property
+    def logits(self):
+        if self._logits is not None:
+            return _f(self._logits)
+        p = _f(self._probs)
+        return jnp.log(p) - jnp.log1p(-p)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.bernoulli(key, self.probs, shape).astype(jnp.int32)
+
+    def log_prob(self, value):
+        logits = self.logits
+        v = _f(value)
+        # -softplus(-logits) = log sigmoid(logits)
+        return v * (-jnp.logaddexp(0.0, -logits)) + (1.0 - v) * (
+            -jnp.logaddexp(0.0, logits)
+        )
+
+    @property
+    def mean(self):
+        return self.probs
+
+
+class Binomial(Distribution):
+    def __init__(self, total_count, probs):
+        self.total_count, self.probs = total_count, probs
+        self._batch_shape = self._broadcast_batch_shape(total_count, probs)
+        self.support = C.IntegerInterval(0, None)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.binomial(
+            key, _f(self.total_count), _f(self.probs), shape
+        ).astype(jnp.int32)
+
+    def log_prob(self, value):
+        n, p, k = _f(self.total_count), _f(self.probs), _f(value)
+        log_comb = jsp.gammaln(n + 1.0) - jsp.gammaln(k + 1.0) - jsp.gammaln(n - k + 1.0)
+        return log_comb + k * jnp.log(p) + (n - k) * jnp.log1p(-p)
+
+    @property
+    def mean(self):
+        return _f(self.total_count) * _f(self.probs)
+
+
+class NegativeBinomial(Distribution):
+    """Gamma-Poisson mixture with mean ``mean`` and concentration ``concentration``.
+
+    variance = mean + mean^2 / concentration.
+    """
+
+    support = C.integer_nonnegative
+
+    def __init__(self, mean, concentration):
+        self._mean_param = mean
+        self.concentration = concentration
+        self._batch_shape = self._broadcast_batch_shape(mean, concentration)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        k_gamma, k_pois = jax.random.split(key)
+        r, mu = _f(self.concentration), _f(self._mean_param)
+        g = jax.random.gamma(k_gamma, jnp.broadcast_to(r, shape)) * (mu / r)
+        return jax.random.poisson(k_pois, g, shape)
+
+    def log_prob(self, value):
+        r, mu, k = _f(self.concentration), _f(self._mean_param), _f(value)
+        log_p = jnp.log(mu) - jnp.log(mu + r)  # success prob of each count
+        log_1mp = jnp.log(r) - jnp.log(mu + r)
+        return (
+            jsp.gammaln(k + r)
+            - jsp.gammaln(r)
+            - jsp.gammaln(k + 1.0)
+            + r * log_1mp
+            + k * log_p
+        )
+
+    @property
+    def mean(self):
+        return _f(self._mean_param)
+
+    @property
+    def variance(self):
+        mu, r = _f(self._mean_param), _f(self.concentration)
+        return mu + mu * mu / r
+
+
+__all__ = ["Poisson", "Bernoulli", "Binomial", "NegativeBinomial"]

@@ -1,0 +1,135 @@
+"""Distribution base class and TransformedDistribution.
+
+API intentionally mirrors the numpyro surface the reference exercises
+(reference: src/dynode/infer/sample.py:72-76 samples Distribution objects;
+examples/sir_infer_parameters.py:47-58 builds TransformedDistribution priors)
+so configs written against the reference port with an import swap.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import constraints as C
+from .transforms import Transform
+
+
+class Distribution:
+    """Base class for all DynODE-TPU distributions.
+
+    Subclasses implement :meth:`sample` and :meth:`log_prob` as pure JAX
+    functions of their (possibly batched) parameters, plus a ``support``
+    constraint used for bijection to unconstrained space during inference.
+    """
+
+    support: C.Constraint = C.real
+
+    @property
+    def batch_shape(self) -> Tuple[int, ...]:
+        return getattr(self, "_batch_shape", ())
+
+    @property
+    def event_shape(self) -> Tuple[int, ...]:
+        return getattr(self, "_event_shape", ())
+
+    def shape(self, sample_shape=()) -> Tuple[int, ...]:
+        return tuple(sample_shape) + self.batch_shape + self.event_shape
+
+    def sample(self, key: jax.Array, sample_shape=()) -> jax.Array:
+        raise NotImplementedError
+
+    def log_prob(self, value) -> jax.Array:
+        raise NotImplementedError
+
+    @property
+    def mean(self):
+        raise NotImplementedError
+
+    @property
+    def variance(self):
+        raise NotImplementedError
+
+    def __call__(self, key, sample_shape=()):
+        return self.sample(key, sample_shape)
+
+    def _broadcast_batch_shape(self, *params) -> Tuple[int, ...]:
+        shape: Tuple[int, ...] = ()
+        for p in params:
+            shape = jnp.broadcast_shapes(shape, jnp.shape(p))
+        return shape
+
+
+class TransformedDistribution(Distribution):
+    """Distribution of ``transform(x)`` for ``x ~ base_distribution``.
+
+    ``log_prob(y) = base.log_prob(f^-1(y)) - log|det df/dx|(f^-1(y))``.
+    """
+
+    def __init__(self, base_distribution: Distribution, transforms):
+        self.base_dist = base_distribution
+        if isinstance(transforms, Transform):
+            transforms = [transforms]
+        self.transforms = list(transforms)
+        self.support = (
+            self.transforms[-1].codomain if self.transforms else base_distribution.support
+        )
+        self._batch_shape = base_distribution.batch_shape
+        self._event_shape = base_distribution.event_shape
+
+    def sample(self, key, sample_shape=()):
+        x = self.base_dist.sample(key, sample_shape)
+        for t in self.transforms:
+            x = t(x)
+        return x
+
+    def log_prob(self, value):
+        value = jnp.asarray(value)
+        # walk backwards to the base space, accumulating jacobian corrections
+        y = value
+        log_det = jnp.zeros_like(y, dtype=jnp.result_type(float))
+        for t in reversed(self.transforms):
+            x = t.inv(y)
+            log_det = log_det + t.log_abs_det_jacobian(x, y)
+            y = x
+        return self.base_dist.log_prob(y) - log_det
+
+    @property
+    def mean(self):
+        # only exact for affine-only transform chains; used by init heuristics.
+        x = self.base_dist.mean
+        for t in self.transforms:
+            x = t(x)
+        return x
+
+
+class Delta(Distribution):
+    """Point mass at ``value`` with an optional extra log-density term.
+
+    Used by autoguides to emit transformed latent sites whose density is
+    accounted against the underlying flat latent (the ``log_density`` carries
+    the negative jacobian correction), mirroring numpyro's Delta mechanics.
+    """
+
+    def __init__(self, value, log_density=0.0):
+        self.value = value
+        self._log_density = log_density
+        self._batch_shape = jnp.shape(value)
+
+    def sample(self, key, sample_shape=()):
+        return jnp.broadcast_to(
+            self.value, tuple(sample_shape) + jnp.shape(self.value)
+        )
+
+    def log_prob(self, value):
+        return jnp.broadcast_to(
+            jnp.asarray(self._log_density, dtype=jnp.result_type(float)),
+            jnp.shape(value),
+        )
+
+    @property
+    def mean(self):
+        return self.value
+
+
+__all__ = ["Distribution", "TransformedDistribution", "Delta"]

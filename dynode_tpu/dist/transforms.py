@@ -1,0 +1,181 @@
+"""Bijective transforms between constrained and unconstrained space.
+
+Used both for ``TransformedDistribution`` (the reference's priors use
+``numpyro.distributions.TransformedDistribution`` with ``AffineTransform`` --
+reference: examples/sir_infer_parameters.py:47-58) and for NUTS/SVI
+reparameterization onto unconstrained R^n via :func:`biject_to`.
+
+All forward/inverse/jacobian functions are elementwise pure-jnp -- they fuse
+into the surrounding XLA program (VPU ops on TPU).
+"""
+
+import jax.numpy as jnp
+
+from . import constraints as C
+
+
+class Transform:
+    """An invertible elementwise map with a tractable log|det J|."""
+
+    #: constraint describing the image of the transform (its codomain)
+    codomain: C.Constraint = C.real
+
+    def __call__(self, x):
+        raise NotImplementedError
+
+    def inv(self, y):
+        raise NotImplementedError
+
+    def log_abs_det_jacobian(self, x, y):
+        """log |dy/dx| evaluated elementwise at x (y = self(x) supplied to reuse work)."""
+        raise NotImplementedError
+
+
+class IdentityTransform(Transform):
+    codomain = C.real
+
+    def __call__(self, x):
+        return x
+
+    def inv(self, y):
+        return y
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.zeros_like(jnp.asarray(x))
+
+
+class AffineTransform(Transform):
+    """y = loc + scale * x."""
+
+    def __init__(self, loc, scale, domain: C.Constraint = C.real):
+        self.loc = loc
+        self.scale = scale
+        self.domain = domain
+        # map the domain constraint through the affine map so downstream
+        # code (e.g. NUTS bijections) sees the true support.
+        if isinstance(domain, C._UnitInterval):
+            self.codomain = C.Interval(loc, loc + scale)
+        elif isinstance(domain, C.Interval):
+            self.codomain = C.Interval(
+                loc + scale * domain.low, loc + scale * domain.high
+            )
+        elif isinstance(domain, (C._Positive, C._Nonnegative)):
+            self.codomain = C.GreaterThan(loc)
+        else:
+            self.codomain = C.real
+
+    def __call__(self, x):
+        return self.loc + self.scale * x
+
+    def inv(self, y):
+        return (y - self.loc) / self.scale
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.broadcast_to(
+            jnp.log(jnp.abs(jnp.asarray(self.scale, dtype=jnp.result_type(float)))),
+            jnp.shape(x),
+        )
+
+
+class ExpTransform(Transform):
+    """y = exp(x); bijection R -> (0, inf)."""
+
+    codomain = C.positive
+
+    def __call__(self, x):
+        return jnp.exp(x)
+
+    def inv(self, y):
+        return jnp.log(y)
+
+    def log_abs_det_jacobian(self, x, y):
+        return jnp.asarray(x)
+
+
+class SigmoidTransform(Transform):
+    """y = sigmoid(x); bijection R -> (0, 1)."""
+
+    codomain = C.unit_interval
+
+    def __call__(self, x):
+        return 1.0 / (1.0 + jnp.exp(-x))
+
+    def inv(self, y):
+        return jnp.log(y) - jnp.log1p(-y)
+
+    def log_abs_det_jacobian(self, x, y):
+        # log sigmoid'(x) = log(y) + log(1-y) = -softplus(-x) - softplus(x)
+        x = jnp.asarray(x)
+        return -jnp.logaddexp(0.0, -x) - jnp.logaddexp(0.0, x)
+
+
+class ComposeTransform(Transform):
+    """Apply a sequence of transforms left to right."""
+
+    def __init__(self, parts):
+        self.parts = list(parts)
+        self.codomain = self.parts[-1].codomain if self.parts else C.real
+
+    def __call__(self, x):
+        for p in self.parts:
+            x = p(x)
+        return x
+
+    def inv(self, y):
+        for p in reversed(self.parts):
+            y = p.inv(y)
+        return y
+
+    def log_abs_det_jacobian(self, x, y):
+        total = 0.0
+        for p in self.parts:
+            x_next = p(x)
+            total = total + p.log_abs_det_jacobian(x, x_next)
+            x = x_next
+        return total
+
+
+def biject_to(constraint: C.Constraint) -> Transform:
+    """Return a bijection from unconstrained R onto ``constraint``'s region.
+
+    This is what maps NUTS's unconstrained sample space back onto each
+    latent site's support (softplus-free, matching numpyro's exp/sigmoid
+    choices so posteriors are comparable draw-for-draw).
+    """
+    if isinstance(constraint, (C._Positive, C._Nonnegative)):
+        return ExpTransform()
+    if isinstance(constraint, C._UnitInterval):
+        return SigmoidTransform()
+    if isinstance(constraint, C.Interval):
+        return ComposeTransform(
+            [
+                SigmoidTransform(),
+                AffineTransform(
+                    constraint.low,
+                    constraint.high - constraint.low,
+                    domain=C.unit_interval,
+                ),
+            ]
+        )
+    if isinstance(constraint, C.GreaterThan):
+        return ComposeTransform(
+            [ExpTransform(), AffineTransform(constraint.low, 1.0, domain=C.positive)]
+        )
+    if isinstance(constraint, C.LessThan):
+        return ComposeTransform(
+            [ExpTransform(), AffineTransform(constraint.high, -1.0, domain=C.positive)]
+        )
+    if isinstance(constraint, C._Real):
+        return IdentityTransform()
+    raise ValueError(f"no bijection registered for constraint {constraint!r}")
+
+
+__all__ = [
+    "Transform",
+    "IdentityTransform",
+    "AffineTransform",
+    "ExpTransform",
+    "SigmoidTransform",
+    "ComposeTransform",
+    "biject_to",
+]

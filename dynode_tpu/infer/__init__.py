@@ -1,0 +1,84 @@
+"""Bayesian inference engine: handlers, NUTS, SVI, Predictive, diagnostics.
+
+Public surface covers the reference's ``dynode.infer``
+(reference: src/dynode/infer/__init__.py:3-19) plus the underlying engine
+pieces the reference imported from numpyro (MCMC/NUTS/SVI/Predictive/
+init strategies/autoguides), all implemented in-repo and TPU-first.
+"""
+
+from . import diagnostics, handlers
+from .checkpointing import checkpoint_compartment_sizes
+from .diagnostics import effective_sample_size, hdi, split_rhat, summary
+from .idata import InferenceData, from_dynode
+from .inference import InferenceProcess, MCMCProcess, SVIProcess
+from .mcmc import MCMC, NUTS
+from .predictive import Predictive, log_likelihood
+from .sample import (
+    resolve_deterministic,
+    sample_distributions,
+    sample_then_resolve,
+)
+from .svi import (
+    SVI,
+    Adam,
+    AutoDelta,
+    AutoGuide,
+    AutoMultivariateNormal,
+    AutoNormal,
+    ClippedAdam,
+    SVIRunResult,
+    SVIState,
+    Trace_ELBO,
+)
+from .util import (
+    init_to_mean,
+    init_to_median,
+    init_to_sample,
+    init_to_uniform,
+    log_density,
+)
+
+# primitive aliases so model code reads like the reference's numpyro calls
+sample = handlers.sample
+deterministic = handlers.deterministic
+param = handlers.param
+
+__all__ = [
+    "handlers",
+    "diagnostics",
+    "sample",
+    "deterministic",
+    "param",
+    "sample_then_resolve",
+    "resolve_deterministic",
+    "sample_distributions",
+    "InferenceProcess",
+    "MCMCProcess",
+    "SVIProcess",
+    "checkpoint_compartment_sizes",
+    "MCMC",
+    "NUTS",
+    "SVI",
+    "SVIState",
+    "SVIRunResult",
+    "Trace_ELBO",
+    "Adam",
+    "ClippedAdam",
+    "AutoGuide",
+    "AutoNormal",
+    "AutoMultivariateNormal",
+    "AutoDelta",
+    "Predictive",
+    "log_likelihood",
+    "init_to_median",
+    "init_to_mean",
+    "init_to_sample",
+    "init_to_uniform",
+    "log_density",
+    "InferenceData",
+    "from_dynode",
+    "effective_sample_size",
+    "split_rhat",
+    "hdi",
+    "summary",
+]

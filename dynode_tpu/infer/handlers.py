@@ -1,0 +1,202 @@
+"""Minimal effect-handler system: sample/deterministic/param primitives.
+
+A compact reimplementation of the numpyro handler pattern the reference
+depends on (reference: docs/source/markdown/backend-libraries.md:72, tests
+use ``numpyro.handlers.trace``/``seed``/``substitute`` --
+tests/test_infer/test_sample.py:49-94). Models are ordinary Python callables
+containing :func:`sample` / :func:`deterministic` calls; handlers are context
+managers stacked around model execution:
+
+- ``seed(rng_seed=...)``: provides (and splits) PRNG keys per site.
+- ``trace()``: records every site (name, fn, value, observed flag).
+- ``substitute(data=...)``: forces named sites to given values.
+- ``condition(data=...)``: like substitute but marks sites observed.
+
+Everything here happens at Python trace time; handler overhead never appears
+in the compiled XLA program.
+"""
+
+from collections import OrderedDict
+from typing import Any, Dict, Optional
+
+import jax
+
+from ..dist import Distribution
+
+_STACK: list = []
+
+
+class Messenger:
+    """Base handler: a context manager that rewrites site messages."""
+
+    def __enter__(self):
+        _STACK.append(self)
+        return self
+
+    def __exit__(self, exc_type, exc_value, tb):
+        assert _STACK and _STACK[-1] is self
+        _STACK.pop()
+
+    def process_message(self, msg: Dict[str, Any]) -> None:
+        """Mutate ``msg`` before the site's default behavior runs."""
+
+    def postprocess_message(self, msg: Dict[str, Any]) -> None:
+        """Observe the finished ``msg`` (e.g. to record it)."""
+
+
+class seed(Messenger):
+    """Provide fresh PRNG keys to sites that need one."""
+
+    def __init__(self, rng_seed=0):
+        if isinstance(rng_seed, int):
+            self.rng_key = jax.random.PRNGKey(rng_seed)
+        else:
+            self.rng_key = rng_seed
+
+    def process_message(self, msg):
+        if msg["type"] == "sample" and msg["rng_key"] is None and msg["value"] is None:
+            self.rng_key, site_key = jax.random.split(self.rng_key)
+            msg["rng_key"] = site_key
+
+
+class trace(Messenger):
+    """Record every site into an OrderedDict (``with trace() as tr:``)."""
+
+    def __init__(self):
+        self.sites: "OrderedDict[str, Dict[str, Any]]" = OrderedDict()
+
+    def __enter__(self):
+        super().__enter__()
+        self.sites = OrderedDict()
+        return self.sites
+
+    def postprocess_message(self, msg):
+        name = msg["name"]
+        if name in self.sites:
+            raise ValueError(f"duplicate site name {name!r} in one model trace")
+        self.sites[name] = dict(msg)
+
+    def get_trace(self, model, *args, **kwargs):
+        """Run ``model`` under this handler, returning the recorded sites."""
+        with self as sites:
+            model(*args, **kwargs)
+        return sites
+
+
+class substitute(Messenger):
+    """Force named sample/param sites to the provided values."""
+
+    def __init__(self, data: Optional[Dict[str, Any]] = None):
+        self.data = data or {}
+
+    def process_message(self, msg):
+        if msg["type"] in ("sample", "param") and msg["value"] is None:
+            if msg["name"] in self.data:
+                msg["value"] = self.data[msg["name"]]
+
+
+class condition(Messenger):
+    """Force named sample sites to values AND mark them observed."""
+
+    def __init__(self, data: Optional[Dict[str, Any]] = None):
+        self.data = data or {}
+
+    def process_message(self, msg):
+        if msg["type"] == "sample" and msg["name"] in self.data:
+            msg["value"] = self.data[msg["name"]]
+            msg["is_observed"] = True
+
+
+def _apply_stack(msg: Dict[str, Any]) -> Dict[str, Any]:
+    # innermost handlers get the first say (e.g. an inner substitute wins)
+    for handler in reversed(_STACK):
+        handler.process_message(msg)
+
+    if msg["type"] == "sample" and msg["value"] is None:
+        if msg["is_observed"]:
+            raise RuntimeError("observed sample site lost its value")
+        if msg["rng_key"] is None:
+            raise ValueError(
+                f"site {msg['name']!r} needs an rng_key: run the model under "
+                "handlers.seed(...) or pass rng_key= to sample()."
+            )
+        msg["value"] = msg["fn"].sample(msg["rng_key"])
+    if msg["type"] == "param" and msg["value"] is None:
+        msg["value"] = msg["init_value"]
+
+    for handler in _STACK:
+        handler.postprocess_message(msg)
+    return msg
+
+
+def sample(
+    name: str,
+    fn: Distribution,
+    obs=None,
+    rng_key=None,
+    sample_shape=(),
+):
+    """Declare a random variable (or observe data against a likelihood).
+
+    Site-name semantics match numpyro's ``numpyro.sample`` as the reference
+    uses it (src/dynode/infer/sample.py:72-76).
+    """
+    if not _STACK and obs is None:
+        if rng_key is None:
+            raise ValueError(
+                f"sample site {name!r} called outside an inference context "
+                "without an rng_key"
+            )
+        return fn.sample(rng_key, sample_shape)
+    msg = {
+        "type": "sample",
+        "name": name,
+        "fn": fn,
+        "value": obs,
+        "is_observed": obs is not None,
+        "rng_key": rng_key,
+    }
+    return _apply_stack(msg)["value"]
+
+
+def deterministic(name: str, value):
+    """Record a derived value as a named trace site (no density)."""
+    if not _STACK:
+        return value
+    msg = {
+        "type": "deterministic",
+        "name": name,
+        "fn": None,
+        "value": value,
+        "is_observed": False,
+        "rng_key": None,
+    }
+    return _apply_stack(msg)["value"]
+
+
+def param(name: str, init_value=None):
+    """Declare a learnable parameter site (used by SVI guides)."""
+    if not _STACK:
+        return init_value
+    msg = {
+        "type": "param",
+        "name": name,
+        "fn": None,
+        "value": None,
+        "init_value": init_value,
+        "is_observed": False,
+        "rng_key": None,
+    }
+    return _apply_stack(msg)["value"]
+
+
+__all__ = [
+    "Messenger",
+    "seed",
+    "trace",
+    "substitute",
+    "condition",
+    "sample",
+    "deterministic",
+    "param",
+]

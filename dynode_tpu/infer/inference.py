@@ -1,0 +1,258 @@
+"""InferenceProcess / MCMCProcess / SVIProcess: the user-facing fit drivers.
+
+Field-for-field parity with the reference process classes
+(src/dynode/infer/inference.py:29-405), running on the in-repo NUTS/SVI
+engines instead of numpyro. ``to_arviz()`` returns the in-repo
+:class:`~dynode_tpu.infer.idata.InferenceData` (same group layout arviz uses).
+"""
+
+from typing import Any, Callable, Dict, Optional, Type
+
+import jax
+from jax import Array
+from jax.random import PRNGKey
+from pydantic import BaseModel, ConfigDict, Field, PositiveInt, PrivateAttr
+
+from .idata import InferenceData, from_dynode
+from .mcmc import MCMC, NUTS
+from .predictive import Predictive, log_likelihood
+from .svi import (
+    SVI,
+    Adam,
+    AutoGuide,
+    AutoMultivariateNormal,
+    SVIRunResult,
+    Trace_ELBO,
+)
+from .util import init_to_median
+
+
+class InferenceProcess(BaseModel):
+    """Abstract driver fitting a model callable to data."""
+
+    model_config = ConfigDict(arbitrary_types_allowed=True)
+
+    numpyro_model: Callable = Field(
+        description="Model callable: initializes state, samples/resolves "
+        "parameters, simulates, optionally scores observed data, and "
+        "returns the generated Solution."
+    )
+    inference_prngkey: Array = Field(default_factory=lambda: PRNGKey(8675314))
+
+    _inference_complete: bool = PrivateAttr(default=False)
+    _inferer: Optional[Any] = PrivateAttr(default=None)
+    # final sampler/optimizer state, retained for chained inference
+    _inference_state: Optional[Any] = PrivateAttr(default=None)
+    # model kwargs from infer(), replayed for Predictive
+    _inferer_kwargs: Optional[dict] = PrivateAttr(default_factory=dict)
+
+    def infer(self, **kwargs):
+        raise NotImplementedError(
+            "Inference process not implemented, please use a subclass."
+        )
+
+    def get_samples(self, group_by_chain=False, exclude_deterministic=True):
+        raise NotImplementedError(
+            "get_samples() process not implemented, please use a subclass."
+        )
+
+    def to_arviz(self) -> InferenceData:
+        raise NotImplementedError(
+            "to_arviz not implemented for abstract InferenceProcess, use subclass"
+        )
+
+    def _require_complete(self):
+        if not self._inference_complete:
+            raise AssertionError(
+                "Inference process not completed, please call infer() first."
+            )
+
+
+class MCMCProcess(InferenceProcess):
+    """NUTS-based fitting with vectorized (mesh-shardable) chains."""
+
+    num_samples: PositiveInt
+    num_warmup: PositiveInt
+    num_chains: PositiveInt
+    nuts_max_tree_depth: PositiveInt
+    nuts_init_strategy: Callable = init_to_median
+    mcmc_kwargs: dict = Field(
+        default_factory=dict,
+        description="Extra kwargs to MCMC (e.g. mesh=, chain_axis=).",
+    )
+    nuts_kwargs: dict = Field(
+        default_factory=dict,
+        description="Extra kwargs to the NUTS kernel (e.g. dense_mass=False).",
+    )
+    progress_bar: bool = True
+
+    def infer(self, **kwargs) -> MCMC:
+        """Fit with NUTS; extra kwargs go to the model callable."""
+        nuts_kwargs = dict(dense_mass=True)
+        nuts_kwargs.update(self.nuts_kwargs)
+        inferer = MCMC(
+            NUTS(
+                self.numpyro_model,
+                max_tree_depth=self.nuts_max_tree_depth,
+                init_strategy=self.nuts_init_strategy,
+                **nuts_kwargs,
+            ),
+            num_warmup=self.num_warmup,
+            num_samples=self.num_samples,
+            num_chains=self.num_chains,
+            progress_bar=self.progress_bar,
+            **self.mcmc_kwargs,
+        )
+        inferer.run(self.inference_prngkey, **kwargs)
+        self._inference_complete = True
+        self._inferer = inferer
+        self._inference_state = inferer.last_state
+        self._inferer_kwargs = kwargs
+        return inferer
+
+    def get_samples(
+        self, group_by_chain=False, exclude_deterministic=True
+    ) -> Dict[str, Array]:
+        """Posterior samples: (chains*samples, ...) or (chains, samples, ...)."""
+        self._require_complete()
+        assert isinstance(self._inferer, MCMC)
+        samples = self._inferer.get_samples(group_by_chain=group_by_chain)
+        if not exclude_deterministic:
+            det = self._inferer.deterministic_samples()
+            if group_by_chain:
+                det = {
+                    k: v.reshape(
+                        (self.num_chains, self.num_samples) + v.shape[1:]
+                    )
+                    for k, v in det.items()
+                }
+            samples = {**samples, **det}
+        return samples
+
+    def to_arviz(self) -> InferenceData:
+        """Posterior + prior + posterior-predictive as InferenceData."""
+        self._require_complete()
+        assert isinstance(self._inferer, MCMC)
+        posterior_predictive = Predictive(
+            self.numpyro_model,
+            posterior_samples=self.get_samples(),
+        )(
+            rng_key=self.inference_prngkey,
+            **self._inferer_kwargs,
+        )
+        prior = Predictive(self.numpyro_model, num_samples=self.num_samples)(
+            rng_key=self.inference_prngkey,
+            **self._inferer_kwargs,
+        )
+        return from_dynode(
+            posterior=self.get_samples(group_by_chain=True),
+            posterior_predictive=posterior_predictive,
+            prior=prior,
+            sample_stats=self._inferer.get_extra_fields(group_by_chain=True),
+        )
+
+
+class SVIProcess(InferenceProcess):
+    """Variational fitting with an autoguide (full-rank Gaussian by default)."""
+
+    model_config = ConfigDict(arbitrary_types_allowed=True)
+
+    num_iterations: PositiveInt = Field(
+        description="Number of ELBO optimization steps."
+    )
+    num_samples: PositiveInt = Field(
+        description="Posterior draws generated by get_samples() after a fit."
+    )
+    guide_class: Type[AutoGuide] = AutoMultivariateNormal
+    guide_init_strategy: Callable = init_to_median
+    optimizer: Any = Field(
+        default_factory=lambda: Adam(step_size=0.1),
+        description="SVI optimizer (Adam/ClippedAdam or any optax transform).",
+    )
+    progress_bar: bool = True
+    guide_kwargs: dict = Field(default_factory=dict)
+
+    def infer(self, **kwargs) -> SVI:
+        """Fit with SVI; extra kwargs go to the model callable."""
+        guide = self.guide_class(
+            self.numpyro_model,
+            init_loc_fn=self.guide_init_strategy,
+            **self.guide_kwargs,
+        )
+        inferer = SVI(
+            model=self.numpyro_model,
+            guide=guide,
+            optim=self.optimizer,
+            loss=Trace_ELBO(),
+        )
+        svi_state = inferer.init(self.inference_prngkey, **kwargs)
+        self._inference_state = inferer.run(
+            self.inference_prngkey,
+            num_steps=self.num_iterations,
+            init_state=svi_state,
+            progress_bar=self.progress_bar,
+            **kwargs,
+        )
+        self._inference_complete = True
+        self._inferer = inferer
+        self._inferer_kwargs = kwargs
+        return inferer
+
+    def get_samples(
+        self, _: bool = False, exclude_deterministic: bool = True
+    ) -> Dict[str, Array]:
+        """Draw ``num_samples`` from the fitted variational posterior."""
+        self._require_complete()
+        assert isinstance(self._inference_state, SVIRunResult)
+        assert isinstance(self._inferer, SVI)
+        predictive = Predictive(
+            self._inferer.guide,
+            params=self._inference_state.params,
+            num_samples=self.num_samples,
+        )
+        samples = predictive(self.inference_prngkey, **self._inferer_kwargs)
+        if not exclude_deterministic:
+            det_predictive = Predictive(
+                model=self._inferer.model,
+                guide=self._inferer.guide,
+                params=self._inference_state.params,
+                num_samples=self.num_samples,
+                exclude_deterministic=False,
+            )
+            det = det_predictive(self.inference_prngkey, **self._inferer_kwargs)
+            samples = {**samples, **det}
+        return {
+            name: value
+            for name, value in samples.items()
+            if not name.startswith("_auto")
+        }
+
+    def to_arviz(self) -> InferenceData:
+        """Prior + posterior-predictive + pointwise log-likelihood."""
+        self._require_complete()
+        samples = self.get_samples()
+        posterior_predictive = Predictive(
+            self.numpyro_model,
+            posterior_samples=samples,
+        )(
+            rng_key=self.inference_prngkey,
+            **self._inferer_kwargs,
+        )
+        prior = Predictive(
+            self.numpyro_model, num_samples=self.num_iterations
+        )(
+            rng_key=self.inference_prngkey,
+            **self._inferer_kwargs,
+        )
+        ll = log_likelihood(
+            self.numpyro_model, samples, **self._inferer_kwargs
+        )
+        return from_dynode(
+            posterior={k: jax.numpy.asarray(v)[None] for k, v in samples.items()},
+            posterior_predictive=posterior_predictive,
+            prior=prior,
+            log_likelihood=ll,
+        )
+
+
+__all__ = ["InferenceProcess", "MCMCProcess", "SVIProcess"]

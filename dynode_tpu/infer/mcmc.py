@@ -1,0 +1,327 @@
+"""NUTS kernel + MCMC runner with vectorized, mesh-shardable chains.
+
+API mirrors the numpyro surface the reference exercises
+(src/dynode/infer/inference.py:149-169): ``MCMC(NUTS(model, dense_mass=True,
+max_tree_depth=..., init_strategy=...), num_warmup, num_samples, num_chains)``
+then ``.run(rng_key, **model_kwargs)`` / ``.get_samples(group_by_chain)``.
+
+TPU-first differences from numpyro's host-loop design:
+- chains are a **vmapped batch axis inside one jitted program** (warmup scan +
+  sampling scan), not host processes; pass ``mesh=`` to shard the chain axis
+  over devices via GSPMD (the collective-free data parallelism of this
+  domain -- SURVEY.md section 2.8).
+- the entire run (warmup windows, dual averaging, mass estimation, sampling)
+  compiles once; there is no per-iteration Python.
+"""
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import shard_batch
+from . import handlers
+from .hmc import (
+    build_warmup_schedule,
+    chol_of_inv,
+    da_init,
+    da_update,
+    find_reasonable_step_size,
+    init_state,
+    nuts_transition,
+    welford_covariance,
+    welford_init,
+    welford_update,
+)
+from .util import (
+    constrain_sample,
+    flatten_potential,
+    get_model_trace,
+    get_transforms,
+    init_to_median,
+    initialize_latents,
+    latent_sites,
+    make_potential_fn,
+    unconstrain_sample,
+)
+
+
+class NUTS:
+    """No-U-Turn sampler kernel configuration for a model callable."""
+
+    def __init__(
+        self,
+        model: Callable,
+        *,
+        dense_mass: bool = True,
+        max_tree_depth: int = 10,
+        target_accept_prob: float = 0.8,
+        init_strategy: Callable = init_to_median,
+        step_size: Optional[float] = None,
+        adapt_step_size: bool = True,
+        adapt_mass_matrix: bool = True,
+        **_ignored,
+    ):
+        self.model = model
+        self.dense_mass = dense_mass
+        self.max_tree_depth = max_tree_depth
+        self.target_accept_prob = target_accept_prob
+        self.init_strategy = init_strategy
+        self.step_size = step_size
+        self.adapt_step_size = adapt_step_size
+        self.adapt_mass_matrix = adapt_mass_matrix
+
+
+class MCMC:
+    """Run NUTS chains as one compiled, vectorized (optionally sharded) program."""
+
+    def __init__(
+        self,
+        kernel: NUTS,
+        *,
+        num_warmup: int,
+        num_samples: int,
+        num_chains: int = 1,
+        chain_method: str = "vectorized",
+        progress_bar: bool = False,
+        mesh=None,
+        chain_axis: str = "chain",
+        **_ignored,
+    ):
+        self.kernel = kernel
+        self.num_warmup = int(num_warmup)
+        self.num_samples = int(num_samples)
+        self.num_chains = int(num_chains)
+        self.chain_method = chain_method
+        self.progress_bar = progress_bar
+        self.mesh = mesh
+        self.chain_axis = chain_axis
+        self._samples: Optional[Dict[str, jax.Array]] = None
+        self._extra_fields: Optional[Dict[str, jax.Array]] = None
+        self._transforms = None
+        self._unravel = None
+        self._model_args: tuple = ()
+        self._model_kwargs: dict = {}
+        self.last_state = None
+
+    # -- single-chain program (vmapped below) -------------------------------
+
+    def _chain_fn(self, pot_and_grad, D, dtype):
+        kern = self.kernel
+        max_depth = kern.max_tree_depth
+        target = kern.target_accept_prob
+        in_slow, win_end = build_warmup_schedule(self.num_warmup)
+        in_slow = jnp.asarray(in_slow)
+        win_end = jnp.asarray(win_end)
+
+        def run(z0, rng_key):
+            state = init_state(pot_and_grad, z0, rng_key)
+            if kern.dense_mass:
+                inv_mass = jnp.eye(D, dtype=dtype)
+            else:
+                inv_mass = jnp.ones((D,), dtype=dtype)
+            chol = chol_of_inv(inv_mass)
+            key = state.rng_key
+            if kern.step_size is not None:
+                eps0 = jnp.asarray(kern.step_size, dtype=dtype)
+            else:
+                key, k_eps = jax.random.split(key)
+                eps0 = find_reasonable_step_size(
+                    pot_and_grad, inv_mass, chol, state, k_eps
+                )
+            state = state._replace(rng_key=key)
+            da = da_init(eps0)
+            wf = welford_init(D, kern.dense_mass, dtype)
+
+            def warmup_step(carry, flags):
+                state, da, wf, inv_mass, chol = carry
+                slow, end = flags
+                eps = jnp.exp(da.log_eps) if kern.adapt_step_size else eps0
+                state = nuts_transition(
+                    pot_and_grad, inv_mass, chol, eps, max_depth, state
+                )
+                if kern.adapt_step_size:
+                    da = da_update(da, state.accept_prob, target=target)
+                if kern.adapt_mass_matrix:
+                    wf = jax.lax.cond(
+                        slow,
+                        lambda w: welford_update(w, state.z),
+                        lambda w: w,
+                        wf,
+                    )
+
+                    def refresh(args):
+                        da, wf, inv_mass, chol = args
+                        inv_new = welford_covariance(wf)
+                        chol_new = chol_of_inv(inv_new)
+                        eps_cur = jnp.exp(da.log_eps_avg)
+                        return (
+                            da_init(eps_cur),
+                            welford_init(D, kern.dense_mass, dtype),
+                            inv_new,
+                            chol_new,
+                        )
+
+                    da, wf, inv_mass, chol = jax.lax.cond(
+                        end, refresh, lambda a: a, (da, wf, inv_mass, chol)
+                    )
+                return (state, da, wf, inv_mass, chol), None
+
+            if self.num_warmup > 0:
+                (state, da, wf, inv_mass, chol), _ = jax.lax.scan(
+                    warmup_step,
+                    (state, da, wf, inv_mass, chol),
+                    (in_slow, win_end),
+                )
+            eps_final = (
+                jnp.exp(da.log_eps_avg) if kern.adapt_step_size else eps0
+            )
+
+            def sample_step(state, _):
+                state = nuts_transition(
+                    pot_and_grad, inv_mass, chol, eps_final, max_depth, state
+                )
+                out = {
+                    "z": state.z,
+                    "potential_energy": state.potential,
+                    "energy": state.energy,
+                    "accept_prob": state.accept_prob,
+                    "num_steps": state.num_steps,
+                    "diverging": state.diverging,
+                }
+                return state, out
+
+            state, collected = jax.lax.scan(
+                sample_step, state, None, length=self.num_samples
+            )
+            collected["step_size"] = eps_final
+            return state, collected
+
+        return run
+
+    # -- public API ----------------------------------------------------------
+
+    def run(self, rng_key, *args, **kwargs):
+        """Trace the model, adapt, and sample; all chains in one program."""
+        if "rng_key" in kwargs and not isinstance(rng_key, jax.Array):
+            raise ValueError("pass rng_key positionally or as first arg")
+        self._model_args = args
+        self._model_kwargs = kwargs
+        model = self.kernel.model
+
+        key_struct, key_init, key_run = jax.random.split(rng_key, 3)
+        tr = get_model_trace(model, key_struct, *args, **kwargs)
+        if not latent_sites(tr):
+            raise ValueError("model has no latent sample sites to infer")
+        transforms = get_transforms(tr)
+        self._transforms = transforms
+
+        # per-chain inits (constrained -> unconstrained -> flat)
+        init_keys = jax.random.split(key_init, self.num_chains)
+        z0s = []
+        unravel = None
+        for c in range(self.num_chains):
+            c_constrained = initialize_latents(
+                tr, init_keys[c], self.kernel.init_strategy
+            )
+            c_unconstrained = unconstrain_sample(transforms, c_constrained)
+            flat_pot, flat0, unravel = flatten_potential(
+                make_potential_fn(model, args, kwargs, transforms),
+                c_unconstrained,
+            )
+            z0s.append(flat0)
+        self._unravel = unravel
+        z0s = jnp.stack(z0s)
+        D = z0s.shape[-1]
+        dtype = z0s.dtype
+        pot_and_grad = jax.value_and_grad(flat_pot)
+
+        chain_keys = jax.random.split(key_run, self.num_chains)
+        run_chain = self._chain_fn(pot_and_grad, D, dtype)
+        run_all = jax.jit(jax.vmap(run_chain))
+
+        if self.mesh is not None:
+            sharding = shard_batch(self.mesh, self.chain_axis)
+            z0s = jax.device_put(z0s, sharding)
+            chain_keys = jax.device_put(chain_keys, sharding)
+
+        if self.progress_bar:
+            print(
+                f"[dynode_tpu.MCMC] compiling+running {self.num_chains} "
+                f"chain(s) x ({self.num_warmup} warmup + "
+                f"{self.num_samples} samples)..."
+            )
+        self.last_state, collected = run_all(z0s, chain_keys)
+        z = collected.pop("z")  # (chains, samples, D)
+        self._collect(z, collected)
+        if self.progress_bar:
+            div = int(jnp.sum(self._extra_fields["diverging"]))
+            print(f"[dynode_tpu.MCMC] done; divergences={div}")
+        return self
+
+    def _collect(self, z, extras):
+        unravel = self._unravel
+        uparams = jax.vmap(jax.vmap(unravel))(z)
+        samples = {
+            name: self._transforms[name](u) for name, u in uparams.items()
+        }
+        self._samples = samples
+        self._extra_fields = extras
+
+    def get_samples(self, group_by_chain: bool = False) -> Dict[str, jax.Array]:
+        """Posterior samples per site: (C*S, ...) or (C, S, ...) arrays."""
+        assert self._samples is not None, "run() first"
+        if group_by_chain:
+            return dict(self._samples)
+        return {
+            k: v.reshape((-1,) + v.shape[2:]) for k, v in self._samples.items()
+        }
+
+    def get_extra_fields(self, group_by_chain: bool = False):
+        assert self._extra_fields is not None, "run() first"
+        if group_by_chain:
+            return dict(self._extra_fields)
+        out = {}
+        for k, v in self._extra_fields.items():
+            if v.ndim >= 2:
+                out[k] = v.reshape((-1,) + v.shape[2:])
+            else:
+                out[k] = v
+        return out
+
+    def deterministic_samples(self) -> Dict[str, jax.Array]:
+        """Replay the model per posterior draw to collect deterministic sites.
+
+        One vmapped model re-execution over all draws (same cost profile as
+        numpyro's postprocessing of deterministic sites).
+        """
+        samples = self.get_samples(group_by_chain=False)
+        model = self.kernel.model
+        args, kwargs = self._model_args, self._model_kwargs
+
+        def replay(draw):
+            with handlers.trace() as tr, handlers.seed(jax.random.PRNGKey(0)), \
+                    handlers.substitute(draw):
+                model(*args, **kwargs)
+            return {
+                name: site["value"]
+                for name, site in tr.items()
+                if site["type"] == "deterministic"
+            }
+
+        probe = replay({k: v[0] for k, v in samples.items()})
+        if not probe:
+            return {}
+        return jax.vmap(replay)(samples)
+
+    def print_summary(self):
+        from .diagnostics import summary
+
+        stats = summary(self.get_samples(group_by_chain=True))
+        for name, row in stats.items():
+            print(name, row)
+
+
+__all__ = ["NUTS", "MCMC"]

@@ -1,0 +1,19 @@
+"""Device-mesh topology and sharding helpers (chain / ensemble parallelism)."""
+
+from .mesh import (
+    create_mesh,
+    default_device_count,
+    ensemble_sharding,
+    host_batch,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "create_mesh",
+    "default_device_count",
+    "shard_batch",
+    "ensemble_sharding",
+    "replicated",
+    "host_batch",
+]

@@ -1,0 +1,13 @@
+"""Simulation layer: the `simulate()` entry point over the TPU ODE engine.
+
+(reference: src/dynode/simulation/__init__.py:3-8)
+"""
+
+from .odes import (
+    AbstractODEParams,
+    build_saveat,
+    simulate,
+    tune_step_budget,
+)
+
+__all__ = ["simulate", "build_saveat", "AbstractODEParams", "tune_step_budget"]
