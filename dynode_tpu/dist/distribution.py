@@ -71,9 +71,12 @@ class TransformedDistribution(Distribution):
         if isinstance(transforms, Transform):
             transforms = [transforms]
         self.transforms = list(transforms)
-        self.support = (
-            self.transforms[-1].codomain if self.transforms else base_distribution.support
-        )
+        from .transforms import push_constraint
+
+        support = base_distribution.support
+        for t in self.transforms:
+            support = push_constraint(support, t)
+        self.support = support
         self._batch_shape = base_distribution.batch_shape
         self._event_shape = base_distribution.event_shape
 

@@ -135,6 +135,57 @@ class ComposeTransform(Transform):
         return total
 
 
+def push_constraint(constraint: C.Constraint, transform: Transform) -> C.Constraint:
+    """Image of ``constraint`` under a monotone ``transform``.
+
+    Used to compute a TransformedDistribution's support from its base
+    distribution's support (e.g. Beta + Affine(1.5, 1) -> Interval(1.5, 2.5)).
+    """
+    if isinstance(transform, IdentityTransform):
+        return constraint
+    if isinstance(transform, ComposeTransform):
+        for part in transform.parts:
+            constraint = push_constraint(constraint, part)
+        return constraint
+    if isinstance(transform, ExpTransform):
+        import math
+
+        if isinstance(constraint, C.Interval):
+            return C.Interval(math.exp(constraint.low), math.exp(constraint.high))
+        if isinstance(constraint, C._UnitInterval):
+            return C.Interval(1.0, math.e)
+        return C.positive
+    if isinstance(transform, SigmoidTransform):
+        return C.unit_interval
+    if isinstance(transform, AffineTransform):
+        loc, scale = transform.loc, transform.scale
+        try:
+            scale_f = float(scale)
+            loc_f = float(loc)
+        except TypeError:
+            return C.real  # array-valued affine: fall back to unconstrained
+
+        def aff(x):
+            return loc_f + scale_f * x
+
+        if isinstance(constraint, C._UnitInterval):
+            lo, hi = aff(0.0), aff(1.0)
+            return C.Interval(min(lo, hi), max(lo, hi))
+        if isinstance(constraint, C.Interval):
+            lo, hi = aff(constraint.low), aff(constraint.high)
+            return C.Interval(min(lo, hi), max(lo, hi))
+        if isinstance(constraint, (C._Positive, C._Nonnegative)):
+            return C.GreaterThan(loc_f) if scale_f > 0 else C.LessThan(loc_f)
+        if isinstance(constraint, C.GreaterThan):
+            b = aff(constraint.low)
+            return C.GreaterThan(b) if scale_f > 0 else C.LessThan(b)
+        if isinstance(constraint, C.LessThan):
+            b = aff(constraint.high)
+            return C.LessThan(b) if scale_f > 0 else C.GreaterThan(b)
+        return C.real
+    return transform.codomain
+
+
 def biject_to(constraint: C.Constraint) -> Transform:
     """Return a bijection from unconstrained R onto ``constraint``'s region.
 
@@ -178,4 +229,5 @@ __all__ = [
     "SigmoidTransform",
     "ComposeTransform",
     "biject_to",
+    "push_constraint",
 ]

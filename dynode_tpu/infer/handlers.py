@@ -107,9 +107,32 @@ class condition(Messenger):
             msg["is_observed"] = True
 
 
+class block(Messenger):
+    """Hide inner sites from handlers stacked *outside* this one.
+
+    Used around internal model traces (guide setup, log-density evaluation,
+    predictive replay) so their sites don't leak into a user's surrounding
+    trace -- same role as numpyro.handlers.block.
+    """
+
+    def __init__(self, hide_fn=None):
+        self.hide_fn = hide_fn or (lambda msg: True)
+
+
+def _active_handlers():
+    """Handlers inside the innermost ``block`` (which still sees nothing)."""
+    for i in range(len(_STACK) - 1, -1, -1):
+        if isinstance(_STACK[i], block):
+            return _STACK[i + 1 :], _STACK[i]
+    return _STACK, None
+
+
 def _apply_stack(msg: Dict[str, Any]) -> Dict[str, Any]:
+    active, blocker = _active_handlers()
+    if blocker is not None and not blocker.hide_fn(msg):
+        active = _STACK
     # innermost handlers get the first say (e.g. an inner substitute wins)
-    for handler in reversed(_STACK):
+    for handler in reversed(active):
         handler.process_message(msg)
 
     if msg["type"] == "sample" and msg["value"] is None:
@@ -124,7 +147,7 @@ def _apply_stack(msg: Dict[str, Any]) -> Dict[str, Any]:
     if msg["type"] == "param" and msg["value"] is None:
         msg["value"] = msg["init_value"]
 
-    for handler in _STACK:
+    for handler in active:
         handler.postprocess_message(msg)
     return msg
 
@@ -196,6 +219,7 @@ __all__ = [
     "trace",
     "substitute",
     "condition",
+    "block",
     "sample",
     "deterministic",
     "param",

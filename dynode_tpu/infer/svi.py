@@ -140,17 +140,34 @@ class AutoGuide:
         raise NotImplementedError
 
 
+def _softplus(x):
+    return jnp.logaddexp(x, 0.0)
+
+
+def _softplus_inv(y):
+    return jnp.log(jnp.expm1(y))
+
+
 class AutoMultivariateNormal(AutoGuide):
     """Full-rank Gaussian posterior in unconstrained space (reference default:
-    src/dynode/infer/inference.py:258)."""
+    src/dynode/infer/inference.py:258).
+
+    The raw ``*_scale_tril`` parameter is unconstrained; the guide maps it to
+    a valid lower-Cholesky factor (softplus on the diagonal, strict lower
+    triangle elsewhere) so gradient updates cannot break positive-definiteness.
+    """
+
+    init_scale: float = 0.1
 
     def __call__(self, *args, **kwargs):
         self._setup(*args, **kwargs)
+        dtype = self._init_flat.dtype
         loc = handlers.param(f"{self.prefix}_loc", self._init_flat)
-        scale_tril = handlers.param(
-            f"{self.prefix}_scale_tril",
-            0.1 * jnp.eye(self._dim, dtype=self._init_flat.dtype),
+        raw_init = jnp.diag(
+            jnp.full((self._dim,), _softplus_inv(jnp.asarray(self.init_scale)), dtype)
         )
+        raw = handlers.param(f"{self.prefix}_scale_tril", raw_init)
+        scale_tril = jnp.tril(raw, -1) + jnp.diag(_softplus(jnp.diagonal(raw)))
         z = handlers.sample("_auto_latent", MultivariateNormal(loc, scale_tril))
         return self._emit_sites(z)
 

@@ -19,9 +19,13 @@ from . import handlers
 
 
 def get_model_trace(model, rng_key, *args, substitutions=None, **kwargs):
-    """Run ``model`` once under seed (+ optional substitute) and record sites."""
+    """Run ``model`` once under seed (+ optional substitute) and record sites.
+
+    Wrapped in ``handlers.block`` so this internal trace never leaks sites
+    into a surrounding user trace.
+    """
     sub = handlers.substitute(substitutions or {})
-    with handlers.trace() as tr, handlers.seed(rng_key), sub:
+    with handlers.block(), handlers.trace() as tr, handlers.seed(rng_key), sub:
         model(*args, **kwargs)
     return tr
 
@@ -55,9 +59,9 @@ def log_density(
     fresh (deterministically seeded) -- well-formed inference passes values
     for every latent.
     """
-    with handlers.trace() as tr, handlers.seed(jax.random.PRNGKey(0)), handlers.substitute(
-        params
-    ):
+    with handlers.block(), handlers.trace() as tr, handlers.seed(
+        jax.random.PRNGKey(0)
+    ), handlers.substitute(params):
         model(*model_args, **model_kwargs)
     log_joint = jnp.zeros((), dtype=jnp.result_type(float))
     for site in tr.values():

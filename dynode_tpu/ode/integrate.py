@@ -99,9 +99,11 @@ def _solve(
     adaptive = controller.adaptive
 
     f0 = term.vf(t0_arr, y0, args)
-    dt_init = jnp.asarray(
-        controller.init_dt(term, solver, t0_arr, t1_arr, y0, f0, args, dt0),
-        dtype=fdtype,
+    dt_init = jax.lax.stop_gradient(
+        jnp.asarray(
+            controller.init_dt(term, solver, t0_arr, t1_arr, y0, f0, args, dt0),
+            dtype=fdtype,
+        )
     )
 
     pid = _unwrap_pid(controller)
@@ -122,8 +124,18 @@ def _solve(
         dt_allowed = t1_arr - t
         if jump_grid is not None:
             nj = jump_grid[jnp.searchsorted(jump_grid[:-1], t, side="right")]
-            dt_allowed = jnp.minimum(dt_allowed, nj - t)
-        dt_used = jnp.minimum(dt_next, dt_allowed)
+            # step to *just below* the jump so no RK stage evaluates on the
+            # post-jump side of the discontinuity (diffrax's prevbefore trick)
+            jump_edge = jnp.nextafter(nj, jnp.asarray(-jnp.inf, dtype=fdtype))
+            dt_to_jump = jump_edge - t
+            dt_allowed = jnp.minimum(dt_allowed, dt_to_jump)
+        else:
+            nj = None
+        # freeze the step sequence for reverse-mode AD: gradients are those
+        # of the discrete solution on the accepted grid (exact in constant
+        # mode; O(tol) controller sensitivity is deliberately dropped)
+        dt_used = jax.lax.stop_gradient(jnp.minimum(dt_next, dt_allowed))
+        jumping = (dt_used >= dt_to_jump) if nj is not None else jnp.asarray(False)
 
         y1, err, f1 = solver.step(term, t, dt_used, y, args, f0=f)
 
@@ -140,25 +152,40 @@ def _solve(
             dt_new = dt_next
 
         # Kahan-compensated t += dt_used on acceptance
-        dt_g = jax.lax.stop_gradient(dt_used)
-        inc = jnp.where(accept, dt_g, jnp.zeros_like(dt_g))
+        inc = jnp.where(accept, dt_used, jnp.zeros_like(dt_used))
         yk = inc - t_comp
         t_new = t + yk
         t_comp_new = (t_new - t) - yk
 
+        made_jump = jumping & accept
+        t_end_prehop = t_new  # segment end as seen by the save grid
+        if nj is not None:
+            # hop the discontinuity: resume integration just after the jump
+            t_new = jnp.where(
+                made_jump, jnp.nextafter(nj, jnp.asarray(jnp.inf, dtype=fdtype)), t_new
+            )
+            t_comp_new = jnp.where(made_jump, jnp.zeros_like(t_comp_new), t_comp_new)
+
         y_next = _tree_select(accept, y1, y)
         if solver.fsal:
             f_next = _tree_select(accept, f1, f)
+            if nj is not None:
+                # the FSAL stage was evaluated pre-jump; refresh it on the
+                # post-jump side so the next step sees the new vector field
+                f_fresh = term.vf(t_new, y_next, args)
+                f_next = _tree_select(made_jump, f_fresh, f_next)
         else:
             f_next = f
         na = na + accept.astype(jnp.int32)
         nr = nr + (~accept).astype(jnp.int32)
         new_carry = (t_new, t_comp_new, y_next, f_next, dt_new, na, nr)
-        return new_carry, (t_new, y_next)
+        # emit (true segment start, pre-hop segment end, end state): resteps
+        # for the save grid must start on the correct side of any jump
+        return new_carry, (t, t_end_prehop, y_next)
 
     def skip_step(carry):
         t, _, y, *_ = carry
-        return carry, (t, y)
+        return carry, (t, t, y)
 
     def body(carry, _):
         t = carry[0]
@@ -181,13 +208,14 @@ def _solve(
         carry_final, outs = jax.lax.scan(
             jax.checkpoint(chunk_fn), carry0, None, length=n_chunks
         )
-        t_ends, y_ends = outs
+        t_starts, t_ends, y_ends = outs
+        t_starts = t_starts.reshape(budget)
         t_ends = t_ends.reshape(budget)
         y_ends = jax.tree_util.tree_map(
             lambda leaf: leaf.reshape((budget,) + leaf.shape[2:]), y_ends
         )
     else:
-        carry_final, (t_ends, y_ends) = chunk_fn(carry0, None)
+        carry_final, (t_starts, t_ends, y_ends) = chunk_fn(carry0, None)
 
     t_final = carry_final[0]
     na, nr = carry_final[5], carry_final[6]
@@ -196,8 +224,14 @@ def _solve(
         jnp.int32
     )
 
-    # ---- dense output: locate each save time's segment, cubic Hermite ----
-    t_starts = jnp.concatenate([t0_arr[None], t_ends[:-1]])
+    # ---- dense output: locate each save time's segment, then *re-step* ----
+    # Each save time s in (ta, tb] is evaluated by taking ONE fresh RK step
+    # of size (s - ta) from the stored segment start (ta, ya). This is a
+    # single fully-batched vmapped solver step over all save points (no
+    # sequential dependency), is accurate to the solver's own order (cubic
+    # Hermite would cap dense output at 4th order), preserves linear
+    # invariants (mass conservation) exactly, and reproduces segment
+    # endpoints bitwise (same stage arithmetic as the accepted step).
     y_starts = jax.tree_util.tree_map(
         lambda ends, first: jnp.concatenate([first[None], ends[:-1]], axis=0),
         y_ends,
@@ -206,34 +240,23 @@ def _solve(
 
     seg = jnp.clip(jnp.searchsorted(t_ends, save_ts, side="left"), 0, budget - 1)
     ta = t_starts[seg]
-    tb = t_ends[seg]
     ya = jax.tree_util.tree_map(lambda leaf: leaf[seg], y_starts)
-    yb = jax.tree_util.tree_map(lambda leaf: leaf[seg], y_ends)
 
-    vf_batched = jax.vmap(lambda t, y: term.vf(t, y, args))
-    fa = vf_batched(ta, ya)
-    fb = vf_batched(tb, yb)
+    def restep(t_a, y_a, s):
+        dt_q = jnp.maximum(s - t_a, 0.0)
+        y_q, _, _ = solver.step(term, t_a, dt_q, y_a, args, f0=None)
+        return y_q
 
-    h = tb - ta
-    degenerate = h <= 0
-    h_safe = jnp.where(degenerate, jnp.ones_like(h), h)
-    theta = jnp.clip((save_ts - ta) / h_safe, 0.0, 1.0)
+    ys = jax.vmap(restep)(ta, ya, save_ts)
+
     unreached = save_ts > t_final + t1_eps
-    t2 = theta * theta
-    t3 = t2 * theta
-    c_ya = 2.0 * t3 - 3.0 * t2 + 1.0
-    c_fa = (t3 - 2.0 * t2 + theta) * h_safe
-    c_yb = -2.0 * t3 + 3.0 * t2
-    c_fb = (t3 - t2) * h_safe
 
-    def interp(ya_l, yb_l, fa_l, fb_l):
-        extra = (1,) * (ya_l.ndim - 1)
-        b = lambda v: v.reshape(v.shape[:1] + extra)  # noqa: E731
-        out = b(c_ya) * ya_l + b(c_fa) * fa_l + b(c_yb) * yb_l + b(c_fb) * fb_l
-        out = jnp.where(b(degenerate), ya_l, out)
-        return jnp.where(b(unreached), jnp.full_like(out, jnp.nan), out)
+    def mask_unreached(leaf):
+        extra = (1,) * (leaf.ndim - 1)
+        flag = unreached.reshape(unreached.shape[:1] + extra)
+        return jnp.where(flag, jnp.full_like(leaf, jnp.nan), leaf)
 
-    ys = jax.tree_util.tree_map(interp, ya, yb, fa, fb)
+    ys = jax.tree_util.tree_map(mask_unreached, ys)
 
     if subs_fn is not None:
         ys = jax.vmap(lambda t, y: subs_fn(t, y, args))(save_ts, ys)

@@ -1,0 +1,126 @@
+"""Distribution log-prob correctness vs scipy + sampling moment checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import dynode_tpu.dist as dist
+from dynode_tpu.dist.transforms import biject_to
+
+KEY = jax.random.PRNGKey(0)
+
+
+CASES = [
+    (dist.Normal(1.2, 0.7), st.norm(1.2, 0.7), [-1.0, 0.5, 3.0]),
+    (dist.LogNormal(0.3, 0.5), st.lognorm(s=0.5, scale=np.exp(0.3)), [0.5, 1.0, 4.0]),
+    (dist.HalfNormal(2.0), st.halfnorm(scale=2.0), [0.1, 1.0, 5.0]),
+    (dist.Cauchy(0.5, 1.5), st.cauchy(0.5, 1.5), [-3.0, 0.5, 7.0]),
+    (dist.HalfCauchy(2.0), st.halfcauchy(scale=2.0), [0.2, 2.0, 9.0]),
+    (dist.StudentT(4.0, 1.0, 2.0), st.t(4.0, 1.0, 2.0), [-2.0, 1.0, 5.0]),
+    (dist.Uniform(-1.0, 3.0), st.uniform(-1.0, 4.0), [-0.5, 0.0, 2.9]),
+    (dist.Exponential(1.7), st.expon(scale=1 / 1.7), [0.1, 1.0, 3.0]),
+    (dist.Gamma(3.0, 2.0), st.gamma(3.0, scale=0.5), [0.4, 1.5, 4.0]),
+    (dist.Beta(0.5, 0.5), st.beta(0.5, 0.5), [0.1, 0.5, 0.9]),
+    (dist.Poisson(4.5), st.poisson(4.5), [0, 3, 10]),
+    (dist.Binomial(10, 0.3), st.binom(10, 0.3), [0, 3, 10]),
+    (dist.Bernoulli(probs=0.7), st.bernoulli(0.7), [0, 1]),
+]
+
+
+@pytest.mark.parametrize("d,ref,points", CASES, ids=lambda c: type(c).__name__)
+def test_log_prob_matches_scipy(d, ref, points):
+    for x in points:
+        got = float(d.log_prob(x))
+        want = (
+            ref.logpmf(x) if hasattr(ref, "logpmf") and isinstance(x, int) else ref.logpdf(x)
+            if hasattr(ref, "logpdf")
+            else ref.logpmf(x)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_truncated_normal_log_prob():
+    d = dist.TruncatedNormal(loc=8.0, scale=2.0, low=2.0, high=15.0)
+    ref = st.truncnorm((2 - 8) / 2, (15 - 8) / 2, loc=8, scale=2)
+    for x in [3.0, 8.0, 14.5]:
+        np.testing.assert_allclose(
+            float(d.log_prob(x)), ref.logpdf(x), rtol=1e-6
+        )
+    assert np.isneginf(float(d.log_prob(1.0)))
+    assert np.isneginf(float(d.log_prob(16.0)))
+
+
+def test_truncated_normal_sampling_bounds_and_mean():
+    d = dist.TruncatedNormal(loc=8.0, scale=2.0, low=2.0, high=15.0)
+    x = np.asarray(d.sample(KEY, (20000,)))
+    assert x.min() >= 2.0 and x.max() <= 15.0
+    ref = st.truncnorm((2 - 8) / 2, (15 - 8) / 2, loc=8, scale=2)
+    np.testing.assert_allclose(x.mean(), ref.mean(), atol=0.05)
+
+
+def test_transformed_distribution_affine_beta():
+    """The reference's r0 prior: 1.5 + Beta(0.5, 0.5) (examples/sir_infer_parameters.py:47-52)."""
+    d = dist.TransformedDistribution(
+        dist.Beta(0.5, 0.5), dist.AffineTransform(1.5, 1.0)
+    )
+    x = np.asarray(d.sample(KEY, (20000,)))
+    assert x.min() > 1.5 and x.max() < 2.5
+    np.testing.assert_allclose(x.mean(), 2.0, atol=0.02)
+    # log_prob = beta logpdf of (x - 1.5) (unit jacobian)
+    np.testing.assert_allclose(
+        float(d.log_prob(1.8)), st.beta(0.5, 0.5).logpdf(0.3), rtol=1e-6
+    )
+    # support reflects the transform
+    t = biject_to(d.support)
+    val = float(t(jnp.asarray(0.0)))
+    assert 1.5 < val < 2.5
+
+
+def test_mvn_log_prob_matches_scipy():
+    loc = np.array([1.0, -2.0])
+    cov = np.array([[2.0, 0.6], [0.6, 1.0]])
+    L = np.linalg.cholesky(cov)
+    d = dist.MultivariateNormal(loc, L)
+    ref = st.multivariate_normal(loc, cov)
+    for x in [np.zeros(2), np.array([1.5, -1.0])]:
+        np.testing.assert_allclose(float(d.log_prob(x)), ref.logpdf(x), rtol=1e-8)
+    samples = np.asarray(d.sample(KEY, (30000,)))
+    np.testing.assert_allclose(samples.mean(0), loc, atol=0.05)
+    np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.08)
+
+
+def test_negative_binomial_moments():
+    d = dist.NegativeBinomial(mean=6.0, concentration=3.0)
+    x = np.asarray(d.sample(KEY, (40000,)))
+    np.testing.assert_allclose(x.mean(), 6.0, rtol=0.05)
+    np.testing.assert_allclose(x.var(), 6.0 + 36.0 / 3.0, rtol=0.1)
+    # normalization: probs sum to ~1
+    ks = jnp.arange(0, 200)
+    total = float(jnp.exp(d.log_prob(ks)).sum())
+    np.testing.assert_allclose(total, 1.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "d",
+    [
+        dist.Normal(0.0, 1.0),
+        dist.Beta(2.0, 3.0),
+        dist.Gamma(2.0, 1.0),
+        dist.Uniform(2.0, 5.0),
+        dist.TruncatedNormal(0.0, 1.0, low=-1.0, high=4.0),
+    ],
+)
+def test_biject_to_roundtrip(d):
+    t = biject_to(d.support)
+    for u in [-3.0, 0.0, 2.0]:
+        c = t(jnp.asarray(u))
+        back = float(t.inv(c))
+        np.testing.assert_allclose(back, u, rtol=1e-6, atol=1e-6)
+
+
+def test_delta_distribution():
+    d = dist.Delta(jnp.asarray(3.0), log_density=-1.5)
+    assert float(d.sample(KEY)) == 3.0
+    assert float(d.log_prob(99.0)) == -1.5

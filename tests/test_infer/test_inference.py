@@ -1,0 +1,174 @@
+"""MCMC/SVI engines + process classes on a fast conjugate model
+(spec: reference tests/test_infer/test_inference_processes.py, which uses the
+same trivial Normal-mean fixture so inference plumbing tests run in seconds)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dynode_tpu.dist as dist
+from dynode_tpu.infer import (
+    MCMC,
+    MCMCProcess,
+    NUTS,
+    Predictive,
+    SVIProcess,
+    handlers,
+    log_likelihood,
+)
+
+np.random.seed(0)
+DATA = jnp.asarray(np.random.randn(128) + 0.7)
+XBAR = float(np.mean(np.asarray(DATA)))
+
+
+def toy_model(obs=None):
+    mu = handlers.sample("mu", dist.Normal(0.0, 1.0))
+    sigma = handlers.sample("sigma", dist.LogNormal(0.0, 0.5))
+    handlers.sample("x", dist.Normal(mu, sigma), obs=obs)
+
+
+@pytest.fixture(scope="module")
+def mcmc_process():
+    proc = MCMCProcess(
+        numpyro_model=toy_model,
+        num_samples=200,
+        num_warmup=200,
+        num_chains=2,
+        nuts_max_tree_depth=8,
+        progress_bar=False,
+    )
+    proc.infer(obs=DATA)
+    return proc
+
+
+@pytest.fixture(scope="module")
+def svi_process():
+    proc = SVIProcess(
+        numpyro_model=toy_model,
+        num_iterations=600,
+        num_samples=150,
+        progress_bar=False,
+    )
+    proc.infer(obs=DATA)
+    return proc
+
+
+def test_mcmc_sample_shapes(mcmc_process):
+    flat = mcmc_process.get_samples()
+    assert flat["mu"].shape == (400,)
+    by_chain = mcmc_process.get_samples(group_by_chain=True)
+    assert by_chain["mu"].shape == (2, 200)
+
+
+def test_mcmc_posterior_close_to_conjugate(mcmc_process):
+    mu = np.asarray(mcmc_process.get_samples()["mu"])
+    expected = XBAR * 128 / 129  # conjugate posterior mean (sigma ~ 1)
+    assert abs(mu.mean() - expected) < 0.03
+    assert 0.06 < mu.std() < 0.13
+
+
+def test_mcmc_requires_infer_first():
+    proc = MCMCProcess(
+        numpyro_model=toy_model,
+        num_samples=10,
+        num_warmup=10,
+        num_chains=1,
+        nuts_max_tree_depth=5,
+    )
+    with pytest.raises(AssertionError):
+        proc.get_samples()
+    with pytest.raises(AssertionError):
+        proc.to_arviz()
+
+
+def test_mcmc_extra_fields_and_last_state(mcmc_process):
+    ef = mcmc_process._inferer.get_extra_fields(group_by_chain=True)
+    assert ef["accept_prob"].shape == (2, 200)
+    assert mcmc_process._inference_state is not None
+    assert mcmc_process._inference_state.z.shape[0] == 2  # per-chain state
+
+
+def test_mcmc_to_arviz(mcmc_process):
+    idata = mcmc_process.to_arviz()
+    assert idata.posterior["mu"].shape == (2, 200)
+    assert "x" in idata.posterior_predictive
+    assert "mu" in idata.prior
+    stats = idata.summary()
+    assert stats["mu"]["r_hat"] < 1.05
+    assert stats["mu"]["n_eff"] > 50
+
+
+def test_svi_sample_shapes_and_filtering(svi_process):
+    samples = svi_process.get_samples()
+    assert set(samples) == {"mu", "sigma"}  # _auto_latent filtered out
+    assert samples["mu"].shape == (150,)
+
+
+def test_svi_posterior_reasonable(svi_process):
+    mu = np.asarray(svi_process.get_samples()["mu"])
+    assert abs(mu.mean() - XBAR * 128 / 129) < 0.1
+
+
+def test_svi_to_arviz(svi_process):
+    idata = svi_process.to_arviz()
+    assert "x" in idata.posterior_predictive
+    assert "x" in idata.log_likelihood
+    assert idata.log_likelihood["x"].shape == (150, 128)
+
+
+def test_deterministic_sites_via_get_samples():
+    def model_with_det(obs=None):
+        mu = handlers.sample("mu", dist.Normal(0.0, 1.0))
+        handlers.deterministic("mu_sq", mu**2)
+        handlers.sample("x", dist.Normal(mu, 1.0), obs=obs)
+
+    proc = MCMCProcess(
+        numpyro_model=model_with_det,
+        num_samples=50,
+        num_warmup=50,
+        num_chains=1,
+        nuts_max_tree_depth=6,
+        progress_bar=False,
+    )
+    proc.infer(obs=DATA)
+    plain = proc.get_samples()
+    assert "mu_sq" not in plain
+    withdet = proc.get_samples(exclude_deterministic=False)
+    np.testing.assert_allclose(
+        np.asarray(withdet["mu_sq"]), np.asarray(withdet["mu"]) ** 2, rtol=1e-6
+    )
+
+
+def test_predictive_prior_and_posterior():
+    prior = Predictive(toy_model, num_samples=40)(jax.random.PRNGKey(0), obs=None)
+    assert prior["mu"].shape == (40,)
+    post = {"mu": jnp.zeros(10), "sigma": jnp.ones(10)}
+    pp = Predictive(toy_model, posterior_samples=post)(
+        jax.random.PRNGKey(0), obs=None
+    )
+    assert pp["x"].shape == (10,)
+    assert "mu" not in pp  # provided sites are not replayed
+
+
+def test_log_likelihood_shapes():
+    post = {"mu": jnp.zeros(7), "sigma": jnp.ones(7)}
+    ll = log_likelihood(toy_model, post, obs=DATA)
+    assert ll["x"].shape == (7, 128)
+    # value spot check: standard normal logpdf at the data
+    expect = -0.5 * np.asarray(DATA) ** 2 - 0.5 * np.log(2 * np.pi)
+    np.testing.assert_allclose(np.asarray(ll["x"][0]), expect, rtol=1e-6)
+
+
+def test_mcmc_vectorized_chains_differ():
+    mcmc = MCMC(
+        NUTS(toy_model, max_tree_depth=6),
+        num_warmup=60,
+        num_samples=60,
+        num_chains=3,
+    )
+    mcmc.run(jax.random.PRNGKey(7), obs=DATA)
+    by_chain = mcmc.get_samples(group_by_chain=True)["mu"]
+    # chains explore independently
+    assert not np.allclose(by_chain[0], by_chain[1])
