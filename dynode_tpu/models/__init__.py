@@ -15,6 +15,13 @@ from .seirs import (
     seirs_seasonal_config,
     seirs_seasonal_ode,
 )
+from .seip import (
+    SEIPParams,
+    seip_config,
+    seip_initial_state,
+    seip_ode,
+    seip_odeparams,
+)
 from .sir import SIRParams, sir_age_config, sir_config, sir_ode
 from .multistrain import (
     MultiStrainParams,
@@ -39,4 +46,9 @@ __all__ = [
     "multistrain_initial_state",
     "multistrain_ode",
     "multistrain_odeparams",
+    "SEIPParams",
+    "seip_config",
+    "seip_initial_state",
+    "seip_ode",
+    "seip_odeparams",
 ]
