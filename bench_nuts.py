@@ -1,0 +1,113 @@
+"""Secondary benchmark: NUTS ESS/sec on the multi-strain SEIRS fit (TPU).
+
+BASELINE.json's second headline metric. Fits strain R0 multipliers of the
+2-age x 3-strain SEIRS model to synthetic Poisson incidence with 4
+vectorized NUTS chains compiled into one program on the TPU chip, then
+reports min-across-parameters effective samples per second.
+
+Prints one JSON line like bench.py (kept separate so the driver's bench.py
+contract stays single-metric).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import dynode_tpu.dist as dist
+from dynode_tpu import simulate
+from dynode_tpu.config import SolverParams
+from dynode_tpu.infer import MCMC, NUTS, handlers
+from dynode_tpu.infer.diagnostics import effective_sample_size
+from dynode_tpu.models.multistrain import (
+    multistrain_config,
+    multistrain_initial_state,
+    multistrain_ode,
+    multistrain_odeparams,
+)
+
+DURATION = 100
+NUM_WARMUP = 200
+NUM_SAMPLES = 200
+NUM_CHAINS = 4
+
+
+def build_model():
+    cfg = multistrain_config(
+        solver_params=SolverParams(
+            step_budget=448,
+            ode_solver_abs_tolerance=1e-3,
+        )
+    )
+    base = multistrain_odeparams(cfg)
+    y0 = multistrain_initial_state(cfg)
+    sp = cfg.parameters.solver_params
+
+    def forward(r0_scales):
+        p = base.replace(beta=base.beta * r0_scales)
+        sol = simulate(multistrain_ode, DURATION, y0, p, sp)
+        return sol.ys[-1]  # cumulative incidence timeseries (T, A, K)
+
+    def model(obs=None):
+        scales = handlers.sample(
+            "r0_scales",
+            dist.TruncatedNormal(
+                loc=jnp.ones(3), scale=0.3 * jnp.ones(3), low=0.5, high=2.0
+            ),
+        )
+        c = forward(scales)
+        incidence = jnp.maximum(jnp.diff(c, axis=0), 1e-6)
+        handlers.sample("obs_incidence", dist.Poisson(incidence), obs=obs)
+
+    return model, forward
+
+
+def main():
+    model, forward = build_model()
+    true_scales = jnp.array([1.1, 0.95, 1.05])
+    c = forward(true_scales)
+    key = jax.random.PRNGKey(0)
+    obs = jax.random.poisson(key, jnp.maximum(jnp.diff(c, axis=0), 1e-6))
+
+    mcmc = MCMC(
+        NUTS(model, dense_mass=True, max_tree_depth=8),
+        num_warmup=NUM_WARMUP,
+        num_samples=NUM_SAMPLES,
+        num_chains=NUM_CHAINS,
+        progress_bar=False,
+    )
+    t0 = time.perf_counter()
+    mcmc.run(jax.random.PRNGKey(1), obs=obs)
+    wall = time.perf_counter() - t0
+
+    by_chain = mcmc.get_samples(group_by_chain=True)["r0_scales"]
+    arr = np.asarray(by_chain)  # (chains, draws, 3)
+    ess = min(
+        effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
+    )
+    ef = mcmc.get_extra_fields()
+    div = int(np.asarray(ef["diverging"]).sum())
+    post_mean = arr.reshape(-1, 3).mean(axis=0)
+    print(
+        f"[bench_nuts] {NUM_CHAINS} chains x ({NUM_WARMUP}+{NUM_SAMPLES}) in "
+        f"{wall:.1f}s; min ESS {ess:.0f}; divergences {div}; posterior "
+        f"means {np.round(post_mean, 3)} (true {np.asarray(true_scales)})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "multistrain_seirs_nuts_ess_per_sec",
+                "value": round(ess / wall, 3),
+                "unit": "ESS/s",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

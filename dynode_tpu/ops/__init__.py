@@ -1,0 +1,24 @@
+"""Pallas TPU kernels for the hot compute paths.
+
+The flagship kernel integrates an entire multi-strain SEIRS ensemble *inside
+one Pallas program*: the packed state stays resident in VMEM across every RK
+stage of every time step (zero HBM round-trips on the hot loop), with daily
+saves DMA'd out asynchronously. The ensemble axis rides the TPU lane
+dimension so all compartment algebra is dense VPU work.
+"""
+
+from .multistrain_pallas import (
+    ensemble_solve_reference,
+    ensemble_solve_tsit5,
+    pack_params,
+    pack_state,
+    unpack_saves,
+)
+
+__all__ = [
+    "ensemble_solve_tsit5",
+    "ensemble_solve_reference",
+    "pack_state",
+    "pack_params",
+    "unpack_saves",
+]

@@ -13,6 +13,7 @@ from .datetime_utils import (
 from .epiweek import EpiWeek, Week
 from .log import logger, use_logging
 from .log_decorator import log_decorator
+from .profiling import assert_solved, solver_stats, wall_timer
 from .splines import base_equation, conditional_knots, evaluate_cubic_spline
 from .utils import (
     drop_keys_with_substring,
@@ -32,6 +33,9 @@ __all__ = [
     "date_to_epi_week",
     "EpiWeek",
     "Week",
+    "assert_solved",
+    "solver_stats",
+    "wall_timer",
     "base_equation",
     "conditional_knots",
     "evaluate_cubic_spline",

@@ -1,0 +1,91 @@
+"""Pallas ensemble-kernel correctness (interpret mode on CPU).
+
+The real-TPU performance path is exercised by bench.py; here we verify the
+kernel's arithmetic against (a) the identical lane-major lax.scan reference
+and (b) the generic adaptive ODE engine.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import dynode_tpu.ops.multistrain_pallas as mp
+from dynode_tpu import simulate
+from dynode_tpu.config import SolverParams
+from dynode_tpu.models.multistrain import (
+    multistrain_config,
+    multistrain_initial_state,
+    multistrain_ode,
+    multistrain_odeparams,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = multistrain_config(solver_params=SolverParams(step_budget=512))
+    p = multistrain_odeparams(cfg)
+    y0 = multistrain_initial_state(cfg)
+    return cfg, p, y0
+
+
+def test_pack_unpack_roundtrip(setup):
+    _, _, y0 = setup
+    packed = mp.pack_state(y0, 8)
+    assert packed.shape == (mp.D_ROWS, 8)
+    s, e, i, r, c = mp.unpack_saves(packed[None])
+    np.testing.assert_allclose(np.asarray(s[0, 3]), np.asarray(y0[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(i[0, 5]), np.asarray(y0[2]), rtol=1e-6)
+
+
+def test_lane_major_reference_matches_engine(setup):
+    cfg, p, y0 = setup
+    saves = mp.ensemble_solve_reference(
+        y0, p.beta, p.sigma, p.gamma, p.omega, p.contact_matrix,
+        batch=4, duration=100.0, dt=0.25,
+    )
+    s, e, i, r, c = mp.unpack_saves(saves)
+    ref = simulate(multistrain_ode, 100, y0, p, cfg.parameters.solver_params)
+    np.testing.assert_allclose(
+        np.asarray(c[:, 0]),
+        np.asarray(ref.ys[4]),
+        rtol=5e-4,
+        atol=1e-3,
+    )
+
+
+def test_per_member_parameters_differ(setup):
+    _, p, y0 = setup
+    B = 4
+    scales = jnp.array([0.8, 1.0, 1.2, 1.4])
+    beta = p.beta[None, :] * scales[:, None]
+    saves = mp.ensemble_solve_reference(
+        y0, beta, p.sigma, p.gamma, p.omega, p.contact_matrix,
+        batch=B, duration=100.0, dt=0.5,
+    )
+    _, _, _, _, c = mp.unpack_saves(saves)
+    finals = np.asarray(c[-1].sum(axis=(1, 2)))
+    assert finals[0] < finals[1] < finals[2] < finals[3]
+
+
+def test_pallas_kernel_interpret_matches_reference(setup):
+    _, p, y0 = setup
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        out = mp.ensemble_solve_tsit5(
+            y0, p.beta, p.sigma, p.gamma, p.omega, p.contact_matrix,
+            batch=128, duration=3.0, dt=1.0, block_b=128,
+        )
+        ref = mp.ensemble_solve_reference(
+            y0, p.beta, p.sigma, p.gamma, p.omega, p.contact_matrix,
+            batch=128, duration=3.0, dt=1.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5
+        )
+    finally:
+        pl.pallas_call = orig
