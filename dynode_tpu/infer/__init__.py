@@ -18,6 +18,12 @@ from .sample import (
     sample_distributions,
     sample_then_resolve,
 )
+from .state_io import (
+    load_mcmc_warm_start,
+    load_pytree,
+    save_mcmc,
+    save_pytree,
+)
 from .svi import (
     SVI,
     Adam,
@@ -77,6 +83,10 @@ __all__ = [
     "log_density",
     "InferenceData",
     "from_dynode",
+    "save_pytree",
+    "load_pytree",
+    "save_mcmc",
+    "load_mcmc_warm_start",
     "effective_sample_size",
     "split_rhat",
     "hdi",

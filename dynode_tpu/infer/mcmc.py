@@ -105,16 +105,43 @@ class MCMC:
         self._model_args: tuple = ()
         self._model_kwargs: dict = {}
         self.last_state = None
+        self._tuned = None  # per-chain (inv_mass, chol, eps) after adaptation
 
     # -- single-chain program (vmapped below) -------------------------------
 
-    def _chain_fn(self, pot_and_grad, D, dtype):
+    def _chain_fn(self, pot_and_grad, D, dtype, warm: bool = False):
         kern = self.kernel
         max_depth = kern.max_tree_depth
         target = kern.target_accept_prob
         in_slow, win_end = build_warmup_schedule(self.num_warmup)
         in_slow = jnp.asarray(in_slow)
         win_end = jnp.asarray(win_end)
+
+        def run_warm(state, inv_mass, chol, eps_final):
+            """Sampling only, from a previously adapted chain (chained inference)."""
+
+            def sample_step(state, _):
+                state = nuts_transition(
+                    pot_and_grad, inv_mass, chol, eps_final, max_depth, state
+                )
+                out = {
+                    "z": state.z,
+                    "potential_energy": state.potential,
+                    "energy": state.energy,
+                    "accept_prob": state.accept_prob,
+                    "num_steps": state.num_steps,
+                    "diverging": state.diverging,
+                }
+                return state, out
+
+            state, collected = jax.lax.scan(
+                sample_step, state, None, length=self.num_samples
+            )
+            collected["step_size"] = eps_final
+            return state, (inv_mass, chol, eps_final), collected
+
+        if warm:
+            return run_warm
 
         def run(z0, rng_key):
             state = init_state(pot_and_grad, z0, rng_key)
@@ -197,14 +224,20 @@ class MCMC:
                 sample_step, state, None, length=self.num_samples
             )
             collected["step_size"] = eps_final
-            return state, collected
+            return state, (inv_mass, chol, eps_final), collected
 
         return run
 
     # -- public API ----------------------------------------------------------
 
-    def run(self, rng_key, *args, **kwargs):
-        """Trace the model, adapt, and sample; all chains in one program."""
+    def run(self, rng_key, *args, warm_start=None, **kwargs):
+        """Trace the model, adapt, and sample; all chains in one program.
+
+        ``warm_start``: a value from :meth:`warm_start_state` of a previous
+        run -- skips warmup entirely and continues sampling from the saved
+        per-chain states with the saved mass matrices and step sizes
+        (chained inference).
+        """
         if "rng_key" in kwargs and not isinstance(rng_key, jax.Array):
             raise ValueError("pass rng_key positionally or as first arg")
         self._model_args = args
@@ -239,13 +272,6 @@ class MCMC:
         pot_and_grad = jax.value_and_grad(flat_pot)
 
         chain_keys = jax.random.split(key_run, self.num_chains)
-        run_chain = self._chain_fn(pot_and_grad, D, dtype)
-        run_all = jax.jit(jax.vmap(run_chain))
-
-        if self.mesh is not None:
-            sharding = shard_batch(self.mesh, self.chain_axis)
-            z0s = jax.device_put(z0s, sharding)
-            chain_keys = jax.device_put(chain_keys, sharding)
 
         if self.progress_bar:
             print(
@@ -253,7 +279,21 @@ class MCMC:
                 f"chain(s) x ({self.num_warmup} warmup + "
                 f"{self.num_samples} samples)..."
             )
-        self.last_state, collected = run_all(z0s, chain_keys)
+        if warm_start is not None:
+            prev_state, (inv_mass, chol, eps) = warm_start
+            prev_state = prev_state._replace(rng_key=chain_keys)
+            run_warm = self._chain_fn(pot_and_grad, D, dtype, warm=True)
+            self.last_state, self._tuned, collected = jax.jit(
+                jax.vmap(run_warm)
+            )(prev_state, inv_mass, chol, eps)
+        else:
+            run_chain = self._chain_fn(pot_and_grad, D, dtype)
+            run_all = jax.jit(jax.vmap(run_chain))
+            if self.mesh is not None:
+                sharding = shard_batch(self.mesh, self.chain_axis)
+                z0s = jax.device_put(z0s, sharding)
+                chain_keys = jax.device_put(chain_keys, sharding)
+            self.last_state, self._tuned, collected = run_all(z0s, chain_keys)
         z = collected.pop("z")  # (chains, samples, D)
         self._collect(z, collected)
         if self.progress_bar:
@@ -315,6 +355,17 @@ class MCMC:
         if not probe:
             return {}
         return jax.vmap(replay)(samples)
+
+    def warm_start_state(self):
+        """(last per-chain HMCState, adapted (inv_mass, chol, step_size)).
+
+        Pass to a later ``run(..., warm_start=...)`` to continue sampling
+        without re-running warmup (the reference keeps ``last_state`` "for
+        chained inference of subsequent inferers" --
+        src/dynode/infer/inference.py:50-53 -- this is the working version).
+        """
+        assert self.last_state is not None, "run() first"
+        return self.last_state, self._tuned
 
     def print_summary(self):
         from .diagnostics import summary

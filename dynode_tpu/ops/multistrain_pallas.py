@@ -278,8 +278,15 @@ def ensemble_solve_tsit5(
     """Solve a B-wide multi-strain SEIRS ensemble fully inside Pallas.
 
     Parameters may be (K,) (shared) or (B, K) (per-member). Returns the
-    packed (n_saves, D, B) buffer; use :func:`unpack_saves`.
+    packed (n_saves, D, B) buffer; use :func:`unpack_saves`. On non-TPU
+    backends this transparently falls back to the identical lax.scan
+    reference implementation.
     """
+    if jax.default_backend() not in ("tpu",):
+        return ensemble_solve_reference(
+            y0, beta, sigma, gamma, omega, contact,
+            batch=batch, duration=duration, dt=dt, save_every=save_every,
+        )
     assert batch % block_b == 0, "batch must divide into lane blocks"
     y_packed = pack_state(y0, batch)
     p_packed = pack_params(beta, sigma, gamma, omega, batch)

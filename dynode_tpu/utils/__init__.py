@@ -57,9 +57,10 @@ def __getattr__(name):
         "plot_violin_plots",
         "vis_utils",
     }:
-        from . import vis_utils
+        import importlib
 
+        mod = importlib.import_module(".vis_utils", __name__)
         if name == "vis_utils":
-            return vis_utils
-        return getattr(vis_utils, name)
+            return mod
+        return getattr(mod, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

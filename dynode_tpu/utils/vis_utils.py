@@ -80,6 +80,8 @@ def plot_checkpoint_inference_correlation_pairs(
     flat = drop_keys_with_substring(flat, "timestep")
     names = list(flat)
     cols = [np.asarray(v).reshape(-1)[:max_samples_calculated] for v in flat.values()]
+    common = min(len(c) for c in cols)
+    cols = [c[:common] for c in cols]
     n = len(names)
     fig, axes = plt.subplots(n, n, figsize=(2.2 * n, 2.2 * n), squeeze=False)
     for i in range(n):
