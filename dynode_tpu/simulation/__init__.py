@@ -7,7 +7,14 @@ from .odes import (
     AbstractODEParams,
     build_saveat,
     simulate,
+    simulate_ensemble,
     tune_step_budget,
 )
 
-__all__ = ["simulate", "build_saveat", "AbstractODEParams", "tune_step_budget"]
+__all__ = [
+    "simulate",
+    "simulate_ensemble",
+    "build_saveat",
+    "AbstractODEParams",
+    "tune_step_budget",
+]

@@ -15,7 +15,7 @@ from typing import Optional, Tuple, get_type_hints
 
 import jax
 import jax.numpy as jnp
-from jax import Array
+from jax import Array  # noqa: F401 (re-exported type checks)
 
 from ..config import SolverParams
 from ..ode import (
@@ -164,6 +164,53 @@ def _sub_save_mask(sub_save_indices: Tuple[int, ...]):
     return mask
 
 
+def simulate_ensemble(
+    ode: ODE_Eqns,
+    duration_days: int,
+    initial_state: CompartmentState,
+    ode_parameters_batch: AbstractODEParams,
+    solver_parameters: SolverParams,
+    sub_save_indices: Optional[Tuple[int, ...]] = None,
+    save_step: int = 1,
+    mesh=None,
+    axis_name: str = "ensemble",
+) -> Solution:
+    """Vectorize :func:`simulate` over a batch of parameter pytrees.
+
+    ``ode_parameters_batch`` carries a leading batch axis on every traced
+    leaf (static fields stay unbatched). The whole ensemble compiles into
+    one XLA program; pass ``mesh=`` to shard the batch axis across devices
+    (GSPMD data parallelism -- no collectives needed).
+
+    Returns a Solution whose ``ys``/``stats``/``result`` gain a leading
+    batch axis.
+    """
+    if any(not isinstance(c, Array) for c in initial_state):
+        raise TypeError(
+            "Please pass jax.numpy.array instead of np.array to ODEs"
+        )
+
+    def solve_one(params):
+        return simulate(
+            ode,
+            duration_days,
+            initial_state,
+            params,
+            solver_parameters,
+            sub_save_indices=sub_save_indices,
+            save_step=save_step,
+        )
+
+    if mesh is not None:
+        from ..parallel import shard_batch
+
+        sharding = shard_batch(mesh, axis_name)
+        ode_parameters_batch = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, sharding), ode_parameters_batch
+        )
+    return jax.jit(jax.vmap(solve_one))(ode_parameters_batch)
+
+
 def tune_step_budget(
     ode: ODE_Eqns,
     duration_days: int,
@@ -189,4 +236,10 @@ def tune_step_budget(
     return solver_parameters.model_copy(update={"step_budget": budget})
 
 
-__all__ = ["AbstractODEParams", "simulate", "build_saveat", "tune_step_budget"]
+__all__ = [
+    "AbstractODEParams",
+    "simulate",
+    "simulate_ensemble",
+    "build_saveat",
+    "tune_step_budget",
+]

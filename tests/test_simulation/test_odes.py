@@ -6,7 +6,12 @@ import pytest
 
 from dynode_tpu import simulate
 from dynode_tpu.config import SolverParams
-from dynode_tpu.simulation import AbstractODEParams, build_saveat, tune_step_budget
+from dynode_tpu.simulation import (
+    AbstractODEParams,
+    build_saveat,
+    simulate_ensemble,
+    tune_step_budget,
+)
 from dynode_tpu.struct import pytree_dataclass
 
 
@@ -151,3 +156,31 @@ def test_tune_step_budget(setup):
     assert tuned.step_budget % 64 == 0
     sol = simulate(_ode, 100, y0, p, tuned)
     assert int(sol.result) == 0
+
+
+def test_simulate_ensemble(setup):
+    import jax
+
+    p, y0, sp = setup
+    betas = jnp.linspace(0.2, 0.4, 8)
+    batch = jax.vmap(lambda b: _P(beta=b, gamma=jnp.asarray(0.1)))(betas)
+    sol = simulate_ensemble(_ode, 50, y0, batch, sp)
+    assert sol.ys[0].shape == (8, 51, 1)
+    assert sol.result.shape == (8,)
+    finals = np.asarray(sol.ys[2][:, -1, 0])
+    assert finals[-1] > finals[0]  # bigger beta -> bigger epidemic
+
+
+def test_simulate_ensemble_sharded(setup):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from dynode_tpu.parallel import create_mesh
+
+    p, y0, sp = setup
+    mesh = create_mesh(("ensemble",))
+    betas = jnp.linspace(0.2, 0.4, 16)
+    batch = jax.vmap(lambda b: _P(beta=b, gamma=jnp.asarray(0.1)))(betas)
+    sol = simulate_ensemble(_ode, 50, y0, batch, sp, mesh=mesh)
+    assert sol.ys[0].shape == (16, 51, 1)
