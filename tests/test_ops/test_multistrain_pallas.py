@@ -89,3 +89,34 @@ def test_pallas_kernel_interpret_matches_reference(setup):
         )
     finally:
         pl.pallas_call = orig
+
+
+def test_generalized_dims_reference():
+    """The lane-major solver generalizes beyond the 2x3 benchmark shape."""
+    import jax
+
+    from dynode_tpu.models.multistrain import (
+        multistrain_config as cfg_fn,
+        multistrain_initial_state as init_fn,
+        multistrain_odeparams as params_fn,
+    )
+
+    cfg = cfg_fn(
+        r0s=(2.0, 2.5), infectious_periods=(7.0, 6.0),
+        latent_periods=(3.0, 2.5), waning_periods=(60.0, 80.0),
+        strain_names=("A", "B"),
+        age_names=("young", "mid", "old"),
+        age_demographics=(0.4, 0.4, 0.2),
+    )
+    p = params_fn(cfg)
+    y0 = init_fn(cfg)
+    saves = mp.ensemble_solve_reference(
+        y0, p.beta, p.sigma, p.gamma, p.omega, p.contact_matrix,
+        batch=4, duration=50.0, dt=0.5, n_age=3, n_strain=2,
+    )
+    s, e, i, r, c = mp.unpack_saves(saves, n_age=3, n_strain=2)
+    assert s.shape == (51, 4, 3) and c.shape == (51, 4, 3, 2)
+    ref = simulate(multistrain_ode, 50, y0, p, cfg.parameters.solver_params)
+    np.testing.assert_allclose(
+        np.asarray(c[:, 0]), np.asarray(ref.ys[4]), rtol=5e-4, atol=1e-3
+    )
