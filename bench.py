@@ -121,6 +121,14 @@ def bench_cpu_reference(cfg, base, y0, n):
 def main():
     cfg, base, y0 = _setup()
 
+    backend = jax.default_backend()
+    if backend not in ("tpu",):
+        print(
+            f"[bench] WARNING: no TPU backend available (got {backend}); "
+            "measuring the CPU fallback path",
+            file=sys.stderr,
+        )
+
     tps = bench_pallas(base, y0, ENSEMBLE)
     print(
         f"[bench] pallas whole-solve kernel: {tps:,.0f} traj/s "

@@ -33,6 +33,7 @@ DURATION = 100
 NUM_WARMUP = 200
 NUM_SAMPLES = 200
 NUM_CHAINS = 4
+MAX_TREE_DEPTH = 6  # ample for a 3-parameter posterior; bounds lockstep cost
 
 
 def build_model():
@@ -73,7 +74,7 @@ def main():
     obs = jax.random.poisson(key, jnp.maximum(jnp.diff(c, axis=0), 1e-6))
 
     mcmc = MCMC(
-        NUTS(model, dense_mass=True, max_tree_depth=8),
+        NUTS(model, dense_mass=True, max_tree_depth=MAX_TREE_DEPTH),
         num_warmup=NUM_WARMUP,
         num_samples=NUM_SAMPLES,
         num_chains=NUM_CHAINS,
