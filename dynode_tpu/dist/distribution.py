@@ -53,11 +53,44 @@ class Distribution:
     def __call__(self, key, sample_shape=()):
         return self.sample(key, sample_shape)
 
+    def expand(self, batch_shape):
+        """Broadcast this distribution to a larger batch shape."""
+        return ExpandedDistribution(self, tuple(batch_shape))
+
     def _broadcast_batch_shape(self, *params) -> Tuple[int, ...]:
         shape: Tuple[int, ...] = ()
         for p in params:
             shape = jnp.broadcast_shapes(shape, jnp.shape(p))
         return shape
+
+
+class ExpandedDistribution(Distribution):
+    """A base distribution broadcast over a larger batch shape."""
+
+    def __init__(self, base_dist: Distribution, batch_shape):
+        self.base_dist = base_dist
+        self._batch_shape = tuple(batch_shape)
+        self._event_shape = base_dist.event_shape
+        self.support = base_dist.support
+
+    def sample(self, key, sample_shape=()):
+        # the base's own batch dims align with the tail of the expanded
+        # shape; draw only the leading expansion and broadcast the rest
+        lead = self._batch_shape[
+            : len(self._batch_shape) - len(self.base_dist.batch_shape)
+        ]
+        draws = self.base_dist.sample(key, tuple(sample_shape) + lead)
+        target = tuple(sample_shape) + self._batch_shape + self._event_shape
+        return jnp.broadcast_to(draws, target)
+
+    def log_prob(self, value):
+        return self.base_dist.log_prob(value)
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(
+            self.base_dist.mean, self._batch_shape + self._event_shape
+        )
 
 
 class TransformedDistribution(Distribution):
