@@ -79,6 +79,9 @@ def main():
         num_samples=NUM_SAMPLES,
         num_chains=NUM_CHAINS,
         progress_bar=False,
+        # bound each on-chip program to ~16 transitions: monolithic
+        # multi-minute programs trip the TPU watchdog (worker crash)
+        steps_per_call=16,
     )
     t0 = time.perf_counter()
     mcmc.run(jax.random.PRNGKey(1), obs=obs)

@@ -88,6 +88,7 @@ class MCMC:
         progress_bar: bool = False,
         mesh=None,
         chain_axis: str = "chain",
+        steps_per_call: Optional[int] = None,
         **_ignored,
     ):
         self.kernel = kernel
@@ -98,6 +99,10 @@ class MCMC:
         self.progress_bar = progress_bar
         self.mesh = mesh
         self.chain_axis = chain_axis
+        #: when set, warmup/sampling run in host-chunked jit calls of this
+        #: many transitions each (bounds single-program on-chip runtime --
+        #: long monolithic programs can trip TPU watchdogs)
+        self.steps_per_call = steps_per_call
         self._samples: Optional[Dict[str, jax.Array]] = None
         self._extra_fields: Optional[Dict[str, jax.Array]] = None
         self._transforms = None
@@ -228,6 +233,128 @@ class MCMC:
 
         return run
 
+    # -- chunked execution: bound the on-chip runtime of each jit call -------
+    # (single multi-minute XLA programs can trip device watchdogs; chunking
+    # at the host level costs one dispatch per `steps_per_call` transitions)
+
+    def _parts(self, pot_and_grad, D, dtype):
+        kern = self.kernel
+        max_depth = kern.max_tree_depth
+        target = kern.target_accept_prob
+
+        def init_chain(z0, rng_key):
+            state = init_state(pot_and_grad, z0, rng_key)
+            if kern.dense_mass:
+                inv_mass = jnp.eye(D, dtype=dtype)
+            else:
+                inv_mass = jnp.ones((D,), dtype=dtype)
+            chol = chol_of_inv(inv_mass)
+            key = state.rng_key
+            if kern.step_size is not None:
+                eps0 = jnp.asarray(kern.step_size, dtype=dtype)
+            else:
+                key, k_eps = jax.random.split(key)
+                eps0 = find_reasonable_step_size(
+                    pot_and_grad, inv_mass, chol, state, k_eps
+                )
+            state = state._replace(rng_key=key)
+            return (
+                state,
+                da_init(eps0),
+                welford_init(D, kern.dense_mass, dtype),
+                inv_mass,
+                chol,
+            )
+
+        def warmup_step(carry, flags):
+            state, da, wf, inv_mass, chol = carry
+            slow, end = flags
+            eps = jnp.exp(da.log_eps) if kern.adapt_step_size else jnp.exp(da.log_eps_avg)
+            state = nuts_transition(
+                pot_and_grad, inv_mass, chol, eps, max_depth, state
+            )
+            if kern.adapt_step_size:
+                da = da_update(da, state.accept_prob, target=target)
+            if kern.adapt_mass_matrix:
+                wf = jax.lax.cond(
+                    slow, lambda w: welford_update(w, state.z), lambda w: w, wf
+                )
+
+                def refresh(args):
+                    da, wf, inv_mass, chol = args
+                    inv_new = welford_covariance(wf)
+                    return (
+                        da_init(jnp.exp(da.log_eps_avg)),
+                        welford_init(D, kern.dense_mass, dtype),
+                        inv_new,
+                        chol_of_inv(inv_new),
+                    )
+
+                da, wf, inv_mass, chol = jax.lax.cond(
+                    end, refresh, lambda a: a, (da, wf, inv_mass, chol)
+                )
+            return (state, da, wf, inv_mass, chol), None
+
+        def warm_segment(carry, flags_chunk):
+            carry, _ = jax.lax.scan(warmup_step, carry, flags_chunk)
+            return carry
+
+        def sample_segment(state, inv_mass, chol, eps_final, dummy):
+            def body(st, _):
+                st = nuts_transition(
+                    pot_and_grad, inv_mass, chol, eps_final, max_depth, st
+                )
+                out = {
+                    "z": st.z,
+                    "potential_energy": st.potential,
+                    "energy": st.energy,
+                    "accept_prob": st.accept_prob,
+                    "num_steps": st.num_steps,
+                    "diverging": st.diverging,
+                }
+                return st, out
+
+            return jax.lax.scan(body, state, dummy)
+
+        return init_chain, warm_segment, sample_segment
+
+    def _run_chunked(self, pot_and_grad, D, dtype, z0s, chain_keys):
+        n = int(self.steps_per_call)
+        init_chain, warm_segment, sample_segment = self._parts(
+            pot_and_grad, D, dtype
+        )
+        carry = jax.jit(jax.vmap(init_chain))(z0s, chain_keys)
+
+        in_slow, win_end = build_warmup_schedule(self.num_warmup)
+        flags = np.stack([in_slow, win_end], axis=-1)
+        warm_jit = jax.jit(jax.vmap(warm_segment, in_axes=(0, None)))
+        for start in range(0, self.num_warmup, n):
+            chunk = jnp.asarray(flags[start : start + n])
+            carry = warm_jit(carry, chunk)
+            carry = jax.block_until_ready(carry)
+
+        state, da, wf, inv_mass, chol = carry
+        if self.kernel.adapt_step_size:
+            eps_final = jnp.exp(da.log_eps_avg)
+        else:
+            eps_final = jnp.full(
+                (self.num_chains,), self.kernel.step_size, dtype=dtype
+            )
+
+        sample_jit = jax.jit(jax.vmap(sample_segment, in_axes=(0, 0, 0, 0, None)))
+        chunks = []
+        for start in range(0, self.num_samples, n):
+            size = min(n, self.num_samples - start)
+            dummy = jnp.arange(size)
+            state, out = sample_jit(state, inv_mass, chol, eps_final, dummy)
+            state = jax.block_until_ready(state)
+            chunks.append(out)
+        collected = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=1), *chunks
+        )
+        collected["step_size"] = eps_final
+        return state, (inv_mass, chol, eps_final), collected
+
     # -- public API ----------------------------------------------------------
 
     def run(self, rng_key, *args, warm_start=None, **kwargs):
@@ -286,6 +413,14 @@ class MCMC:
             self.last_state, self._tuned, collected = jax.jit(
                 jax.vmap(run_warm)
             )(prev_state, inv_mass, chol, eps)
+        elif self.steps_per_call is not None:
+            if self.mesh is not None:
+                sharding = shard_batch(self.mesh, self.chain_axis)
+                z0s = jax.device_put(z0s, sharding)
+                chain_keys = jax.device_put(chain_keys, sharding)
+            self.last_state, self._tuned, collected = self._run_chunked(
+                pot_and_grad, D, dtype, z0s, chain_keys
+            )
         else:
             run_chain = self._chain_fn(pot_and_grad, D, dtype)
             run_all = jax.jit(jax.vmap(run_chain))
