@@ -115,32 +115,23 @@ class MCMC:
     # -- single-chain program (vmapped below) -------------------------------
 
     def _chain_fn(self, pot_and_grad, D, dtype, warm: bool = False):
-        kern = self.kernel
-        max_depth = kern.max_tree_depth
-        target = kern.target_accept_prob
+        """Single-program per-chain runner (vmapped by the caller).
+
+        Delegates to the :meth:`_parts` building blocks; ``warm=True``
+        returns a sampling-only runner for chained inference.
+        """
+        init_chain, warm_segment, sample_segment = self._parts(
+            pot_and_grad, D, dtype
+        )
         in_slow, win_end = build_warmup_schedule(self.num_warmup)
-        in_slow = jnp.asarray(in_slow)
-        win_end = jnp.asarray(win_end)
+        flags = jnp.stack(
+            [jnp.asarray(in_slow), jnp.asarray(win_end)], axis=-1
+        )
+        dummy = jnp.arange(self.num_samples)
 
         def run_warm(state, inv_mass, chol, eps_final):
-            """Sampling only, from a previously adapted chain (chained inference)."""
-
-            def sample_step(state, _):
-                state = nuts_transition(
-                    pot_and_grad, inv_mass, chol, eps_final, max_depth, state
-                )
-                out = {
-                    "z": state.z,
-                    "potential_energy": state.potential,
-                    "energy": state.energy,
-                    "accept_prob": state.accept_prob,
-                    "num_steps": state.num_steps,
-                    "diverging": state.diverging,
-                }
-                return state, out
-
-            state, collected = jax.lax.scan(
-                sample_step, state, None, length=self.num_samples
+            state, collected = sample_segment(
+                state, inv_mass, chol, eps_final, dummy
             )
             collected["step_size"] = eps_final
             return state, (inv_mass, chol, eps_final), collected
@@ -149,87 +140,15 @@ class MCMC:
             return run_warm
 
         def run(z0, rng_key):
-            state = init_state(pot_and_grad, z0, rng_key)
-            if kern.dense_mass:
-                inv_mass = jnp.eye(D, dtype=dtype)
-            else:
-                inv_mass = jnp.ones((D,), dtype=dtype)
-            chol = chol_of_inv(inv_mass)
-            key = state.rng_key
-            if kern.step_size is not None:
-                eps0 = jnp.asarray(kern.step_size, dtype=dtype)
-            else:
-                key, k_eps = jax.random.split(key)
-                eps0 = find_reasonable_step_size(
-                    pot_and_grad, inv_mass, chol, state, k_eps
-                )
-            state = state._replace(rng_key=key)
-            da = da_init(eps0)
-            wf = welford_init(D, kern.dense_mass, dtype)
-
-            def warmup_step(carry, flags):
-                state, da, wf, inv_mass, chol = carry
-                slow, end = flags
-                eps = jnp.exp(da.log_eps) if kern.adapt_step_size else eps0
-                state = nuts_transition(
-                    pot_and_grad, inv_mass, chol, eps, max_depth, state
-                )
-                if kern.adapt_step_size:
-                    da = da_update(da, state.accept_prob, target=target)
-                if kern.adapt_mass_matrix:
-                    wf = jax.lax.cond(
-                        slow,
-                        lambda w: welford_update(w, state.z),
-                        lambda w: w,
-                        wf,
-                    )
-
-                    def refresh(args):
-                        da, wf, inv_mass, chol = args
-                        inv_new = welford_covariance(wf)
-                        chol_new = chol_of_inv(inv_new)
-                        eps_cur = jnp.exp(da.log_eps_avg)
-                        return (
-                            da_init(eps_cur),
-                            welford_init(D, kern.dense_mass, dtype),
-                            inv_new,
-                            chol_new,
-                        )
-
-                    da, wf, inv_mass, chol = jax.lax.cond(
-                        end, refresh, lambda a: a, (da, wf, inv_mass, chol)
-                    )
-                return (state, da, wf, inv_mass, chol), None
-
+            carry = init_chain(z0, rng_key)
             if self.num_warmup > 0:
-                (state, da, wf, inv_mass, chol), _ = jax.lax.scan(
-                    warmup_step,
-                    (state, da, wf, inv_mass, chol),
-                    (in_slow, win_end),
-                )
-            eps_final = (
-                jnp.exp(da.log_eps_avg) if kern.adapt_step_size else eps0
-            )
-
-            def sample_step(state, _):
-                state = nuts_transition(
-                    pot_and_grad, inv_mass, chol, eps_final, max_depth, state
-                )
-                out = {
-                    "z": state.z,
-                    "potential_energy": state.potential,
-                    "energy": state.energy,
-                    "accept_prob": state.accept_prob,
-                    "num_steps": state.num_steps,
-                    "diverging": state.diverging,
-                }
-                return state, out
-
-            state, collected = jax.lax.scan(
-                sample_step, state, None, length=self.num_samples
-            )
-            collected["step_size"] = eps_final
-            return state, (inv_mass, chol, eps_final), collected
+                carry = warm_segment(carry, flags)
+            state, da, wf, inv_mass, chol = carry
+            if self.kernel.adapt_step_size:
+                eps_final = jnp.exp(da.log_eps_avg)
+            else:
+                eps_final = jnp.asarray(self.kernel.step_size, dtype=dtype)
+            return run_warm(state, inv_mass, chol, eps_final)
 
         return run
 
