@@ -1,9 +1,11 @@
 """Secondary benchmark: production SEIP ensemble throughput on TPU.
 
 The heavyweight tensor model (age x immune-history x vaccination x waning x
-strain; 640-element state) run as a vmapped parameter ensemble through the
-generic XLA engine -- demonstrates scenario-scale throughput on the model
-family the reference documents as its production shape (ode_model.md).
+strain; 640-element state) run as a *lane-major* ensemble -- the batch axis
+rides the TPU lane dimension (batch-leading vmap layouts put SEIP's tiny
+trailing dims on the vector tiles at <1% utilization). Constant-step
+direct-save execution: no step buffer, only the cumulative-incidence
+compartment is materialized.
 """
 
 import json
@@ -13,14 +15,16 @@ import time
 import jax
 import jax.numpy as jnp
 
+from dynode_tpu import simulate
 from dynode_tpu.config import SolverParams
 from dynode_tpu.models.seip import (
     seip_config,
+    seip_ensemble_params,
+    seip_ensemble_state,
     seip_initial_state,
-    seip_ode,
+    seip_ode_ensemble,
     seip_odeparams,
 )
-from dynode_tpu.simulation import simulate_ensemble
 
 DURATION = 200
 ENSEMBLE = 1024
@@ -29,20 +33,19 @@ ENSEMBLE = 1024
 def main():
     cfg = seip_config(
         seasonal_vaccination=True,
-        solver_params=SolverParams(
-            step_budget=512, ode_solver_abs_tolerance=1e-2
-        ),
+        solver_params=SolverParams(constant_step_size=0.5),
     )
     base = seip_odeparams(cfg)
-    y0 = seip_initial_state(cfg)
+    y0 = seip_ensemble_state(seip_initial_state(cfg), ENSEMBLE)
 
     key = jax.random.PRNGKey(0)
     scales = jax.random.uniform(key, (ENSEMBLE,), minval=0.85, maxval=1.2)
-    batch = jax.vmap(lambda s: base.replace(beta=base.beta * s))(scales)
+    batch = seip_ensemble_params(base, scales)
 
     def run():
-        sol = simulate_ensemble(
-            seip_ode, DURATION, y0, batch, cfg.parameters.solver_params,
+        sol = simulate(
+            seip_ode_ensemble, DURATION, y0, batch,
+            cfg.parameters.solver_params,
             sub_save_indices=(3,),  # only materialize cumulative incidence
         )
         return sol.ys[3], sol.result
@@ -59,7 +62,7 @@ def main():
         best = min(best, time.perf_counter() - t0)
     tps = ENSEMBLE / best
     print(
-        f"[bench_seip] {ENSEMBLE} x {DURATION}d SEIP "
+        f"[bench_seip] {ENSEMBLE} x {DURATION}d SEIP lane-major "
         f"(state 640, compile {compile_s:.0f}s, failures={n_fail}): "
         f"{tps:,.0f} traj/s",
         file=sys.stderr,

@@ -455,6 +455,100 @@ def seip_initial_state(config: SimulationConfig) -> CompartmentState:
     return config.initializer.get_initial_state(config)
 
 
+# ---------------------------------------------------------------------------
+# lane-major ensemble variant: batch axis LAST
+# ---------------------------------------------------------------------------
+# vmap-style batch-leading layouts put SEIP's tiny trailing dims (wane=4,
+# strain=2) on the TPU's (sublane, lane) tiles -- <1% vector-unit
+# utilization. Writing the ensemble with an explicit trailing batch axis puts
+# the 1000+-wide ensemble on the lane dimension instead, the same layout the
+# Pallas kernels use, but expressed in plain XLA (measured ~45x faster for
+# 1024-wide SEIP ensembles than the vmapped batch-leading form).
+
+
+def seip_ensemble_state(y0: CompartmentState, batch: int) -> CompartmentState:
+    """Broadcast a single initial state to (..., batch)."""
+    return tuple(
+        jnp.broadcast_to(a[..., None], a.shape + (batch,)) for a in y0
+    )
+
+
+def seip_ensemble_params(base: SEIPParams, beta_scales: jnp.ndarray) -> SEIPParams:
+    """Per-member transmission scaling: beta becomes (L, B)."""
+    return base.replace(beta=base.beta[:, None] * beta_scales[None, :])
+
+
+def seip_ode_ensemble(t, state: CompartmentState, p: SEIPParams):
+    """Fused SEIP RHS over a trailing ensemble axis.
+
+    state: S (A,J,K,M,B); E/I/C (A,J,K,L,B). ``p.beta`` is (L, B); all other
+    parameters are shared across the ensemble.
+    """
+    S, E, I, C = state
+
+    season = 1.0 + p.season_amp * jnp.cos(
+        2.0 * jnp.pi * (t - p.season_peak) / 365.0
+    )
+    pulse = (
+        p.intro_perc
+        * jnp.exp(-0.5 * ((t - p.intro_time) / p.intro_scale) ** 2)
+        / (p.intro_scale * math.sqrt(2.0 * math.pi))
+    )  # (L,)
+    external = pulse[:, None] * p.intro_age_mask * p.pop[None, :]  # (L, A)
+    infectious = jnp.sum(I, axis=(1, 2)) + external.T[..., None]  # (A, L, B)
+    mixed = jnp.einsum("ac,clb->alb", p.contact, infectious)  # (A, L, B)
+    lam = (p.beta[None, :, :] * season / p.pop[:, None, None]) * mixed
+
+    ii = 1.0 - (1.0 - p.chi[:, :, None]) * (1.0 - p.vax_eff[:, None, :])
+    wib = ii[..., None] * p.base_protection  # (L, J, K, M)
+    fi = (p.min_homologous * p.hist_mask)[:, :, None, None]
+    escape = 1.0 - (wib + (1.0 - wib) * fi)  # (L, J, K, M)
+
+    exposure_rate = jnp.einsum("alb,ljkm->ajkmlb", lam, escape)
+    exposures = exposure_rate * S[:, :, :, :, None, :]  # (A,J,K,M,L,B)
+    new_exposed = exposures.sum(axis=3)  # (A,J,K,L,B)
+
+    dS = -exposures.sum(axis=4)  # (A,J,K,M,B)
+    dE = new_exposed - p.sigma[:, None] * E
+    dI = p.sigma[:, None] * E - p.gamma[:, None] * I
+    dC = new_exposed
+
+    recovered = p.gamma[:, None] * I  # (A,J,K,L,B)
+    rec_to_hist = jnp.einsum("ajklb,jlh->ahkb", recovered, p.eta_onehot)
+    dS = dS.at[:, :, :, 0, :].add(rec_to_hist)
+
+    nu = evaluate_cubic_spline(
+        t, p.vax_knots, p.vax_base_coeffs, p.vax_knot_coeffs
+    )  # (A, K)
+    nu = jnp.clip(nu, 0.0, None)
+    s_by_dose = S.sum(axis=(1, 3))  # (A, K, B)
+    rate = jnp.minimum(
+        nu[:, :, None] * p.pop[:, None, None] / jnp.maximum(s_by_dose, 1e-8),
+        1.0,
+    )  # (A, K, B)
+    out_lower = rate[:, None, :-1, None, :] * S[:, :, :-1, :, :]
+    dS = dS.at[:, :, :-1, :, :].add(-out_lower)
+    dS = dS.at[:, :, 1:, 0, :].add(out_lower.sum(axis=3))
+    out_top = rate[:, None, -1, None, :] * S[:, :, -1, 1:, :]
+    dS = dS.at[:, :, -1, 1:, :].add(-out_top)
+    dS = dS.at[:, :, -1, 0, :].add(out_top.sum(axis=2))
+
+    if p.seasonal_vaccination:
+        phi = _phi_seasonal(t, p.seasonal_vax_tau)
+        dS = dS.at[:, :, -1, :, :].add(-phi * S[:, :, -1, :, :])
+        dS = dS.at[:, :, -2, :, :].add(phi * S[:, :, -1, :, :])
+        dE = dE.at[:, :, -1, :, :].add(-phi * E[:, :, -1, :, :])
+        dE = dE.at[:, :, -2, :, :].add(phi * E[:, :, -1, :, :])
+        dI = dI.at[:, :, -1, :, :].add(-phi * I[:, :, -1, :, :])
+        dI = dI.at[:, :, -2, :, :].add(phi * I[:, :, -1, :, :])
+
+    wane_out = p.omega[:, None] * S  # omega broadcast over (..., M, B)
+    dS = dS - wane_out
+    dS = dS.at[:, :, :, 1:, :].add(wane_out[:, :, :, :-1, :])
+
+    return (dS, dE, dI, dC)
+
+
 __all__ = [
     "SEIPParams",
     "seip_ode",

@@ -123,3 +123,32 @@ def test_layered_immunity_reduces_reinfection():
     assert chi[0, 1] == 1.0  # hist {alpha} vs alpha
     assert chi[0, 2] == 0.7  # hist {delta} vs alpha (cross immunity)
     assert chi[0, 0] == 0.0  # naive
+
+
+def test_lane_major_ensemble_matches_scalar_rhs():
+    """The batch-last ensemble RHS is the same vector field as the scalar one."""
+    import jax.numpy as jnp
+
+    from dynode_tpu.models.seip import (
+        seip_ensemble_params,
+        seip_ensemble_state,
+        seip_ode_ensemble,
+    )
+
+    cfg = seip_config(
+        seasonal_vaccination=True,
+        solver_params=SolverParams(constant_step_size=0.5),
+    )
+    p = seip_odeparams(cfg)
+    y0 = seip_initial_state(cfg)
+    pb = seip_ensemble_params(p, jnp.array([1.0, 0.9, 1.1]))
+    y0b = seip_ensemble_state(y0, 3)
+    solb = simulate(seip_ode_ensemble, 50, y0b, pb, cfg.parameters.solver_params)
+    sol1 = simulate(seip_ode, 50, y0, p, cfg.parameters.solver_params)
+    for a, b in zip(solb.ys, sol1.ys):
+        np.testing.assert_allclose(
+            np.asarray(a[..., 0]), np.asarray(b), rtol=1e-10, atol=1e-10
+        )
+    # members differ when their transmission scale differs
+    c = np.asarray(solb.ys[3])
+    assert c[-1, ..., 1].sum() != c[-1, ..., 2].sum()
