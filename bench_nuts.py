@@ -37,11 +37,11 @@ MAX_TREE_DEPTH = 6  # ample for a 3-parameter posterior; bounds lockstep cost
 
 
 def build_model():
+    # constant-step direct-save potential: ~8x cheaper gradients than the
+    # adaptive path on TPU (no masked no-op iterations, no controller
+    # select-chains, minimal HBM traffic)
     cfg = multistrain_config(
-        solver_params=SolverParams(
-            step_budget=448,
-            ode_solver_abs_tolerance=1e-3,
-        )
+        solver_params=SolverParams(constant_step_size=0.5)
     )
     base = multistrain_odeparams(cfg)
     y0 = multistrain_initial_state(cfg)
