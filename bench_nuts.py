@@ -32,7 +32,7 @@ from dynode_tpu.models.multistrain import (
 DURATION = 100
 NUM_WARMUP = 200
 NUM_SAMPLES = 200
-NUM_CHAINS = 16
+NUM_CHAINS = 64
 MAX_TREE_DEPTH = 6  # ample for a 3-parameter posterior; bounds lockstep cost
 
 
@@ -94,10 +94,15 @@ def main():
     )
     ef = mcmc.get_extra_fields()
     div = int(np.asarray(ef["diverging"]).sum())
+    mean_leapfrogs = float(np.asarray(ef["num_steps"]).mean())
+    per_chain_std = arr.std(axis=1).min(axis=-1)  # (chains,)
+    stuck = int((per_chain_std < 1e-5).sum())
     post_mean = arr.reshape(-1, 3).mean(axis=0)
     print(
         f"[bench_nuts] {NUM_CHAINS} chains x ({NUM_WARMUP}+{NUM_SAMPLES}) in "
-        f"{wall:.1f}s; min ESS {ess:.0f}; divergences {div}; posterior "
+        f"{wall:.1f}s; min ESS {ess:.0f}; divergences {div}; "
+        f"mean leapfrogs/transition {mean_leapfrogs:.1f}; "
+        f"stuck chains {stuck}; posterior "
         f"means {np.round(post_mean, 3)} (true {np.asarray(true_scales)})",
         file=sys.stderr,
     )
