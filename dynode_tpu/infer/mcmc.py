@@ -44,6 +44,7 @@ from .util import (
     initialize_latents,
     latent_sites,
     make_potential_fn,
+    observed_logprob_centers,
     unconstrain_sample,
 )
 
@@ -62,6 +63,7 @@ class NUTS:
         step_size: Optional[float] = None,
         adapt_step_size: bool = True,
         adapt_mass_matrix: bool = True,
+        center_potential: bool = True,
         **_ignored,
     ):
         self.model = model
@@ -72,6 +74,12 @@ class NUTS:
         self.step_size = step_size
         self.adapt_step_size = adapt_step_size
         self.adapt_mass_matrix = adapt_mass_matrix
+        #: subtract fixed per-datapoint reference log-probs from observed
+        #: sites before summing: shifts the potential by a constant (the
+        #: posterior is unchanged) but keeps float32 energy differences free
+        #: of catastrophic cancellation on large datasets. Note that the
+        #: collected ``potential_energy``/``energy`` extras carry the shift.
+        self.center_potential = center_potential
 
 
 class MCMC:
@@ -297,6 +305,10 @@ class MCMC:
         transforms = get_transforms(tr)
         self._transforms = transforms
 
+        centers = (
+            observed_logprob_centers(tr) if self.kernel.center_potential else None
+        )
+
         # per-chain inits (constrained -> unconstrained -> flat)
         init_keys = jax.random.split(key_init, self.num_chains)
         z0s = []
@@ -307,7 +319,7 @@ class MCMC:
             )
             c_unconstrained = unconstrain_sample(transforms, c_constrained)
             flat_pot, flat0, unravel = flatten_potential(
-                make_potential_fn(model, args, kwargs, transforms),
+                make_potential_fn(model, args, kwargs, transforms, centers=centers),
                 c_unconstrained,
             )
             z0s.append(flat0)
@@ -316,6 +328,33 @@ class MCMC:
         D = z0s.shape[-1]
         dtype = z0s.dtype
         pot_and_grad = jax.value_and_grad(flat_pot)
+
+        # reject non-finite starting points (extreme prior draws can sit in
+        # regions where the solve blows up -> a chain born dead); redraw up
+        # to 20 times per bad chain, numpyro-find_valid_initial_params style
+        check = jax.jit(jax.vmap(pot_and_grad))
+        redraw_key = key_init
+        for _attempt in range(20):
+            pe0, g0 = check(z0s)
+            ok = jnp.isfinite(pe0) & jnp.all(jnp.isfinite(g0), axis=-1)
+            bad = [int(i) for i in jnp.where(~ok)[0]]
+            if not bad:
+                break
+            for i in bad:
+                redraw_key, sub = jax.random.split(redraw_key)
+                c_con = initialize_latents(tr, sub, self.kernel.init_strategy)
+                _, zi, _ = flatten_potential(
+                    make_potential_fn(
+                        model, args, kwargs, transforms, centers=centers
+                    ),
+                    unconstrain_sample(transforms, c_con),
+                )
+                z0s = z0s.at[i].set(zi)
+        else:
+            raise RuntimeError(
+                "could not find finite initial potentials/gradients for all "
+                f"chains after 20 redraws (bad chains: {bad})"
+            )
 
         chain_keys = jax.random.split(key_run, self.num_chains)
 
