@@ -208,17 +208,27 @@ class MCMC:
                 )
 
                 def refresh(args):
-                    da, wf, inv_mass, chol = args
+                    state, da, wf, inv_mass, chol = args
                     inv_new = welford_covariance(wf)
+                    chol_new = chol_of_inv(inv_new)
+                    # re-search a reasonable step size under the NEW metric
+                    # (skipping this lets chains whose step size collapsed in
+                    # a bad window death-spiral: tiny eps -> no movement ->
+                    # degenerate next covariance -> tinier eps)
+                    key, k_eps = jax.random.split(state.rng_key)
+                    eps_new = find_reasonable_step_size(
+                        pot_and_grad, inv_new, chol_new, state, k_eps
+                    )
                     return (
-                        da_init(jnp.exp(da.log_eps_avg)),
+                        state._replace(rng_key=key),
+                        da_init(eps_new),
                         welford_init(D, kern.dense_mass, dtype),
                         inv_new,
-                        chol_of_inv(inv_new),
+                        chol_new,
                     )
 
-                da, wf, inv_mass, chol = jax.lax.cond(
-                    end, refresh, lambda a: a, (da, wf, inv_mass, chol)
+                state, da, wf, inv_mass, chol = jax.lax.cond(
+                    end, refresh, lambda a: a, (state, da, wf, inv_mass, chol)
                 )
             return (state, da, wf, inv_mass, chol), None
 
