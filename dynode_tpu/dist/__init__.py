@@ -11,6 +11,7 @@ from . import constraints, transforms
 from .constraints import Constraint
 from .continuous import (
     Beta,
+    Dirichlet,
     Cauchy,
     Exponential,
     Gamma,
@@ -26,12 +27,20 @@ from .continuous import (
 from .discrete import (
     Bernoulli,
     Binomial,
+    Categorical,
+    Multinomial,
     NegativeBinomial,
     Poisson,
 )
-from .distribution import Delta, Distribution, TransformedDistribution
+from .distribution import (
+    Delta,
+    Distribution,
+    ExpandedDistribution,
+    TransformedDistribution,
+)
 from .transforms import (
     AffineTransform,
+    StickBreakingTransform,
     ComposeTransform,
     ExpTransform,
     IdentityTransform,
@@ -61,6 +70,11 @@ __all__ = [
     "MultivariateNormal",
     "Poisson",
     "Bernoulli",
+    "Categorical",
+    "Multinomial",
+    "Dirichlet",
+    "ExpandedDistribution",
+    "StickBreakingTransform",
     "Binomial",
     "NegativeBinomial",
     "Transform",

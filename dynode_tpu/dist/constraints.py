@@ -77,6 +77,11 @@ class IntegerInterval(Constraint):
         self.high = high
 
 
+class _Simplex(Constraint):
+    """Vectors on the probability simplex (last axis sums to 1)."""
+
+
+simplex = _Simplex()
 real = _Real()
 positive = _Positive()
 nonnegative = _Nonnegative()
@@ -95,4 +100,5 @@ __all__ = [
     "nonnegative",
     "unit_interval",
     "integer_nonnegative",
+    "simplex",
 ]

@@ -321,6 +321,37 @@ class TruncatedNormal(Distribution):
         return _f(self.loc) + _f(self.scale) * (phi_a - phi_b) / zden
 
 
+class Dirichlet(Distribution):
+    """Dirichlet over the probability simplex (event shape (K,))."""
+
+    support = C.simplex
+
+    def __init__(self, concentration):
+        self.concentration = jnp.asarray(concentration, dtype=jnp.result_type(float))
+        self._event_shape = self.concentration.shape[-1:]
+        self._batch_shape = self.concentration.shape[:-1]
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape + self.event_shape
+        g = jax.random.gamma(key, jnp.broadcast_to(self.concentration, shape))
+        return g / jnp.sum(g, axis=-1, keepdims=True)
+
+    def log_prob(self, value):
+        a = self.concentration
+        x = _f(value)
+        return (
+            jnp.sum((a - 1.0) * jnp.log(x), axis=-1)
+            + jsp.gammaln(jnp.sum(a, axis=-1))
+            - jnp.sum(jsp.gammaln(a), axis=-1)
+        )
+
+    @property
+    def mean(self):
+        return self.concentration / jnp.sum(
+            self.concentration, axis=-1, keepdims=True
+        )
+
+
 class MultivariateNormal(Distribution):
     """MVN parameterized by loc and lower-cholesky ``scale_tril``."""
 
@@ -369,4 +400,5 @@ __all__ = [
     "Beta",
     "TruncatedNormal",
     "MultivariateNormal",
+    "Dirichlet",
 ]

@@ -147,4 +147,97 @@ class NegativeBinomial(Distribution):
         return mu + mu * mu / r
 
 
-__all__ = ["Poisson", "Bernoulli", "Binomial", "NegativeBinomial"]
+class Categorical(Distribution):
+    """Categorical over {0..K-1} from probs or logits."""
+
+    def __init__(self, probs=None, logits=None):
+        if (probs is None) == (logits is None):
+            raise ValueError("pass exactly one of probs or logits")
+        if logits is None:
+            logits = jnp.log(_f(probs))
+        self._logits = jnp.asarray(logits, dtype=jnp.result_type(float))
+        self._batch_shape = self._logits.shape[:-1]
+        self.support = C.IntegerInterval(0, self._logits.shape[-1] - 1)
+
+    @property
+    def logits(self):
+        return self._logits - jax.nn.logsumexp(self._logits, axis=-1, keepdims=True)
+
+    @property
+    def probs(self):
+        return jax.nn.softmax(self._logits, axis=-1)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.categorical(key, self._logits, shape=shape)
+
+    def log_prob(self, value):
+        norm = self.logits
+        value = jnp.asarray(value, dtype=jnp.int32)
+        return jnp.take_along_axis(norm, value[..., None], axis=-1)[..., 0]
+
+    @property
+    def mean(self):
+        k = self._logits.shape[-1]
+        return jnp.sum(self.probs * jnp.arange(k), axis=-1)
+
+
+class Multinomial(Distribution):
+    """Multinomial counts over K categories (event shape (K,))."""
+
+    def __init__(self, total_count, probs):
+        self.total_count = total_count
+        self.probs = probs
+        p = jnp.asarray(probs)
+        self._event_shape = p.shape[-1:]
+        self._batch_shape = jnp.broadcast_shapes(
+            jnp.shape(total_count), p.shape[:-1]
+        )
+        self.support = C.IntegerInterval(0, None)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        n = int(self.total_count) if jnp.ndim(self.total_count) == 0 else None
+        if n is None:
+            raise NotImplementedError(
+                "Multinomial.sample requires a scalar total_count"
+            )
+        # sequential binomial decomposition (K is small in this domain)
+        p = jnp.broadcast_to(_f(self.probs), shape + self.event_shape)
+        remaining = jnp.full(shape, float(n))
+        rem_p = jnp.ones(shape)
+        counts = []
+        k = p.shape[-1]
+        for i in range(k - 1):
+            key, sub = jax.random.split(key)
+            frac = jnp.clip(p[..., i] / jnp.maximum(rem_p, 1e-12), 0.0, 1.0)
+            c = jax.random.binomial(sub, remaining, frac)
+            counts.append(c)
+            remaining = remaining - c
+            rem_p = rem_p - p[..., i]
+        counts.append(remaining)
+        return jnp.stack(counts, axis=-1).astype(jnp.int32)
+
+    def log_prob(self, value):
+        n = _f(self.total_count)
+        k = _f(value)
+        p = _f(self.probs)
+        return (
+            jsp.gammaln(n + 1.0)
+            - jnp.sum(jsp.gammaln(k + 1.0), axis=-1)
+            + jnp.sum(k * jnp.log(p), axis=-1)
+        )
+
+    @property
+    def mean(self):
+        return _f(self.total_count)[..., None] * _f(self.probs)
+
+
+__all__ = [
+    "Poisson",
+    "Bernoulli",
+    "Binomial",
+    "NegativeBinomial",
+    "Categorical",
+    "Multinomial",
+]

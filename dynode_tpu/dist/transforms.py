@@ -109,6 +109,50 @@ class SigmoidTransform(Transform):
         return -jnp.logaddexp(0.0, -x) - jnp.logaddexp(0.0, x)
 
 
+class StickBreakingTransform(Transform):
+    """Bijection R^{K-1} -> simplex^K (numpyro's stick-breaking convention).
+
+    ``z_i = sigmoid(x_i - log(K-1-i))``; ``p_i = z_i * remaining_i``.
+    """
+
+    codomain = C.simplex
+
+    def __call__(self, x):
+        k = x.shape[-1] + 1
+        offsets = jnp.log(jnp.arange(k - 1, 0, -1, dtype=x.dtype))
+        z = 1.0 / (1.0 + jnp.exp(-(x - offsets)))
+        z1m_cumprod = jnp.cumprod(1.0 - z, axis=-1)
+        head = z * jnp.concatenate(
+            [jnp.ones_like(z[..., :1]), z1m_cumprod[..., :-1]], axis=-1
+        )
+        return jnp.concatenate([head, z1m_cumprod[..., -1:]], axis=-1)
+
+    def inv(self, p):
+        k = p.shape[-1]
+        p_head = p[..., :-1]
+        remaining = 1.0 - jnp.concatenate(
+            [jnp.zeros_like(p_head[..., :1]), jnp.cumsum(p_head, axis=-1)[..., :-1]],
+            axis=-1,
+        )
+        z = p_head / remaining
+        offsets = jnp.log(jnp.arange(k - 1, 0, -1, dtype=p.dtype))
+        return jnp.log(z) - jnp.log1p(-z) + offsets
+
+    def log_abs_det_jacobian(self, x, y):
+        # sum_i [log remaining_i + log z_i + log(1 - z_i)], reduced over the
+        # event axis (the transform is multivariate)
+        k = x.shape[-1] + 1
+        offsets = jnp.log(jnp.arange(k - 1, 0, -1, dtype=x.dtype))
+        t = x - offsets
+        log_z = -jnp.logaddexp(0.0, -t)
+        log_1mz = -jnp.logaddexp(0.0, t)
+        z1m_cumprod = jnp.cumsum(log_1mz, axis=-1)
+        log_remaining = jnp.concatenate(
+            [jnp.zeros_like(t[..., :1]), z1m_cumprod[..., :-1]], axis=-1
+        )
+        return jnp.sum(log_z + log_1mz + log_remaining, axis=-1)
+
+
 class ComposeTransform(Transform):
     """Apply a sequence of transforms left to right."""
 
@@ -216,6 +260,8 @@ def biject_to(constraint: C.Constraint) -> Transform:
         return ComposeTransform(
             [ExpTransform(), AffineTransform(constraint.high, -1.0, domain=C.positive)]
         )
+    if isinstance(constraint, C._Simplex):
+        return StickBreakingTransform()
     if isinstance(constraint, C._Real):
         return IdentityTransform()
     raise ValueError(f"no bijection registered for constraint {constraint!r}")

@@ -124,3 +124,69 @@ def test_delta_distribution():
     d = dist.Delta(jnp.asarray(3.0), log_density=-1.5)
     assert float(d.sample(KEY)) == 3.0
     assert float(d.log_prob(99.0)) == -1.5
+
+
+def test_dirichlet_and_stickbreaking():
+    import scipy.stats as st2
+
+    conc = np.array([2.0, 3.0, 5.0])
+    d = dist.Dirichlet(conc)
+    x = np.asarray(d.sample(KEY, (20000,)))
+    np.testing.assert_allclose(x.sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(x.mean(0), conc / conc.sum(), atol=0.01)
+    pt = np.array([0.2, 0.3, 0.5])
+    np.testing.assert_allclose(
+        float(d.log_prob(pt)), st2.dirichlet(conc).logpdf(pt), rtol=1e-6
+    )
+    # stick-breaking roundtrip + jacobian sign
+    t = biject_to(d.support)
+    u = jnp.array([0.3, -0.7])
+    p = t(u)
+    np.testing.assert_allclose(float(jnp.sum(p)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t.inv(p)), np.asarray(u), atol=1e-6)
+    # analytic jacobian vs autodiff
+    jac = jax.jacobian(lambda v: t(v)[:-1])(u)
+    np.testing.assert_allclose(
+        float(t.log_abs_det_jacobian(u, p)),
+        float(jnp.linalg.slogdet(jac)[1]),
+        rtol=1e-6,
+    )
+
+
+def test_categorical_and_multinomial():
+    c = dist.Categorical(probs=jnp.array([0.2, 0.3, 0.5]))
+    draws = np.asarray(c.sample(KEY, (20000,)))
+    freqs = np.bincount(draws, minlength=3) / 20000
+    np.testing.assert_allclose(freqs, [0.2, 0.3, 0.5], atol=0.02)
+    np.testing.assert_allclose(float(c.log_prob(2)), np.log(0.5), rtol=1e-6)
+
+    m = dist.Multinomial(total_count=50, probs=jnp.array([0.2, 0.3, 0.5]))
+    x = np.asarray(m.sample(KEY, (5000,)))
+    assert (x.sum(-1) == 50).all()
+    np.testing.assert_allclose(x.mean(0), [10, 15, 25], rtol=0.05)
+    import scipy.stats as st2
+
+    np.testing.assert_allclose(
+        float(m.log_prob(jnp.array([10, 15, 25]))),
+        st2.multinomial(50, [0.2, 0.3, 0.5]).logpmf([10, 15, 25]),
+        rtol=1e-6,
+    )
+
+
+def test_nuts_over_dirichlet_site():
+    """NUTS samples a simplex latent through the stick-breaking bijection."""
+    from dynode_tpu.infer import MCMC, NUTS, handlers
+
+    counts = jnp.array([12.0, 35.0, 53.0])
+
+    def model(obs=None):
+        p = handlers.sample("p", dist.Dirichlet(jnp.ones(3)))
+        handlers.sample("x", dist.Multinomial(100, p), obs=obs)
+
+    mcmc = MCMC(NUTS(model, max_tree_depth=6), num_warmup=200, num_samples=200,
+                num_chains=2)
+    mcmc.run(jax.random.PRNGKey(0), obs=counts)
+    p = np.asarray(mcmc.get_samples()["p"])
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
+    # conjugate posterior mean: (counts + 1) / (100 + 3)
+    np.testing.assert_allclose(p.mean(0), (np.asarray(counts) + 1) / 103, atol=0.02)
