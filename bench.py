@@ -28,8 +28,11 @@ from dynode_tpu import simulate
 from dynode_tpu.config import SolverParams
 from dynode_tpu.models.multistrain import (
     multistrain_config,
+    multistrain_ensemble_params,
+    multistrain_ensemble_state,
     multistrain_initial_state,
     multistrain_ode,
+    multistrain_ode_ensemble,
     multistrain_odeparams,
 )
 from dynode_tpu.ops import ensemble_solve_tsit5
@@ -53,25 +56,51 @@ def _setup():
     return cfg, base, y0
 
 
-def _draws(n):
-    key = jax.random.PRNGKey(0)
+def _draws(n, seed=0):
+    key = jax.random.PRNGKey(seed)
     return jax.random.uniform(key, (n,), minval=0.8, maxval=1.25)
 
 
 def bench_pallas(base, y0, n, repeats=3):
-    beta = base.beta[None, :] * _draws(n)[:, None]
-
-    def run():
+    def run(seed):
+        # fresh parameter draws per repeat: guards against any result
+        # caching/async artifacts in the measurement
+        beta = base.beta[None, :] * _draws(n, seed)[:, None]
         return ensemble_solve_tsit5(
             y0, beta, base.sigma, base.gamma, base.omega,
             base.contact_matrix, batch=n, duration=DURATION, dt=DT,
         )
 
-    jax.block_until_ready(run())  # compile
+    jax.block_until_ready(run(0))  # compile
     best = float("inf")
-    for _ in range(repeats):
+    for rep in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        jax.block_until_ready(run(rep + 1))
+        best = min(best, time.perf_counter() - t0)
+    return n / best
+
+
+def bench_lane_major_xla(base, y0, n, repeats=3):
+    """Batch-last ensemble through the generic engine's constant direct-save
+    path: the pure-XLA counterpart of the Pallas kernel's layout."""
+    cfg_c = multistrain_config(
+        solver_params=SolverParams(constant_step_size=DT)
+    )
+    y0b = multistrain_ensemble_state(y0, n)
+
+    def run(seed):
+        pb = multistrain_ensemble_params(base, _draws(n, seed))
+        sol = simulate(
+            multistrain_ode_ensemble, DURATION, y0b, pb,
+            cfg_c.parameters.solver_params,
+        )
+        return sol.ys[4]
+
+    jax.block_until_ready(run(0))
+    best = float("inf")
+    for rep in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(rep + 1))
         best = min(best, time.perf_counter() - t0)
     return n / best
 
@@ -85,12 +114,12 @@ def bench_xla_adaptive(cfg, base, y0, n, repeats=2):
         return sol.ys[-1][-1], sol.result
 
     fn = jax.jit(jax.vmap(solve_one))
-    draws = _draws(n)
-    out = fn(draws)
+    out = fn(_draws(n))
     jax.block_until_ready(out)
     assert int(jnp.sum(out[1] != 0)) == 0, "adaptive path exhausted budget"
     best = float("inf")
-    for _ in range(repeats):
+    for rep in range(repeats):
+        draws = _draws(n, rep + 1)
         t0 = time.perf_counter()
         jax.block_until_ready(fn(draws))
         best = min(best, time.perf_counter() - t0)
@@ -111,8 +140,8 @@ def bench_cpu_reference(cfg, base, y0, n):
 
     with jax.default_device(cpu):
         fn = jax.jit(jax.vmap(solve_one))
-        draws = jax.device_put(_draws(n), cpu)
-        jax.block_until_ready(fn(draws))
+        jax.block_until_ready(fn(jax.device_put(_draws(n), cpu)))
+        draws = jax.device_put(_draws(n, 1), cpu)
         t0 = time.perf_counter()
         jax.block_until_ready(fn(draws))
         return n / (time.perf_counter() - t0)
@@ -129,12 +158,22 @@ def main():
             file=sys.stderr,
         )
 
-    tps = bench_pallas(base, y0, ENSEMBLE)
+    pallas_tps = bench_pallas(base, y0, ENSEMBLE)
     print(
-        f"[bench] pallas whole-solve kernel: {tps:,.0f} traj/s "
+        f"[bench] pallas whole-solve kernel: {pallas_tps:,.0f} traj/s "
         f"({ENSEMBLE} x {DURATION:.0f}d, dt={DT})",
         file=sys.stderr,
     )
+    lane_tps = 0.0
+    try:
+        lane_tps = bench_lane_major_xla(base, y0, ENSEMBLE)
+        print(
+            f"[bench] lane-major XLA direct-save: {lane_tps:,.0f} traj/s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] lane-major XLA path failed: {e}", file=sys.stderr)
+    tps = max(pallas_tps, lane_tps)
 
     try:
         xla_tps = bench_xla_adaptive(cfg, base, y0, ENSEMBLE)

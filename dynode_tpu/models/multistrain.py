@@ -161,6 +161,48 @@ def multistrain_initial_state(config: SimulationConfig) -> CompartmentState:
     return config.initializer.get_initial_state(config)
 
 
+# ---------------------------------------------------------------------------
+# lane-major ensemble variant: batch axis LAST (see models/seip.py for the
+# rationale -- tiny trailing dims waste the TPU's vector tiles; putting the
+# ensemble on the lane axis is the fast XLA layout when not using the
+# dedicated Pallas kernel in dynode_tpu.ops)
+# ---------------------------------------------------------------------------
+
+
+def multistrain_ensemble_state(y0: CompartmentState, batch: int) -> CompartmentState:
+    """Broadcast a single initial state to (..., batch)."""
+    import jax.numpy as _jnp
+
+    return tuple(
+        _jnp.broadcast_to(a[..., None], a.shape + (batch,)) for a in y0
+    )
+
+
+def multistrain_ensemble_params(
+    base: MultiStrainParams, beta_scales: jnp.ndarray
+) -> MultiStrainParams:
+    """Per-member transmission scaling: beta becomes (K, B)."""
+    return base.replace(beta=base.beta[:, None] * beta_scales[None, :])
+
+
+def multistrain_ode_ensemble(t, state: CompartmentState, p: MultiStrainParams):
+    """Fused multi-strain RHS over a trailing ensemble axis.
+
+    state: s (A, B), e/i/r/c (A, K, B); ``p.beta`` is (K, B).
+    """
+    s, e, i, r, c = state
+    n_age = s + e.sum(axis=1) + i.sum(axis=1) + r.sum(axis=1)  # (A, B)
+    infectious_frac = i / n_age[:, None, :]  # (A, K, B)
+    mixed = jnp.einsum("ab,bkx->akx", p.contact_matrix, infectious_frac)
+    foi = p.beta[None, :, :] * mixed  # (A, K, B)
+    new_inf = foi * s[:, None, :]
+    ds = -new_inf.sum(axis=1) + (p.omega[:, None] * r).sum(axis=1)
+    de = new_inf - p.sigma[:, None] * e
+    di = p.sigma[:, None] * e - p.gamma[:, None] * i
+    dr = p.gamma[:, None] * i - p.omega[:, None] * r
+    return (ds, de, di, dr, new_inf)
+
+
 __all__ = [
     "MultiStrainParams",
     "multistrain_ode",

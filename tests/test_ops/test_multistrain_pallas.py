@@ -120,3 +120,26 @@ def test_generalized_dims_reference():
     np.testing.assert_allclose(
         np.asarray(c[:, 0]), np.asarray(ref.ys[4]), rtol=5e-4, atol=1e-3
     )
+
+
+def test_lane_major_xla_ensemble_matches_scalar():
+    """The batch-last XLA RHS (no Pallas) equals the scalar RHS."""
+    from dynode_tpu.models.multistrain import (
+        multistrain_ensemble_params,
+        multistrain_ensemble_state,
+        multistrain_ode_ensemble,
+    )
+
+    cfg = multistrain_config(solver_params=SolverParams(constant_step_size=0.5))
+    p = multistrain_odeparams(cfg)
+    y0 = multistrain_initial_state(cfg)
+    pb = multistrain_ensemble_params(p, jnp.array([1.0, 0.8, 1.2]))
+    y0b = multistrain_ensemble_state(y0, 3)
+    solb = simulate(
+        multistrain_ode_ensemble, 100, y0b, pb, cfg.parameters.solver_params
+    )
+    sol1 = simulate(multistrain_ode, 100, y0, p, cfg.parameters.solver_params)
+    for a, b in zip(solb.ys, sol1.ys):
+        np.testing.assert_allclose(
+            np.asarray(a[..., 0]), np.asarray(b), rtol=1e-9, atol=1e-9
+        )
