@@ -405,6 +405,10 @@ def da_update(da: DAState, accept_prob, target=0.8, gamma=0.05, t0=10.0, kappa=0
     t = da.t + 1.0
     h_avg = (1.0 - 1.0 / (t + t0)) * da.h_avg + (target - accept_prob) / (t + t0)
     log_eps = da.mu - jnp.sqrt(t) / gamma * h_avg
+    # bound adaptation to +-3 nats around the window's anchor (mu = log(10 e0)
+    # -> e0 * [10/e^3, 10*e^3]): a run of f32-noise rejections early in a
+    # window can otherwise collapse eps so far the chain freezes permanently
+    log_eps = jnp.clip(log_eps, da.mu - 3.0 - jnp.log(10.0), da.mu + 3.0)
     w = t**-kappa
     log_eps_avg = w * log_eps + (1.0 - w) * da.log_eps_avg
     return DAState(log_eps, log_eps_avg, h_avg, t, da.mu)
