@@ -14,8 +14,7 @@ TPU-first differences from numpyro's host-loop design:
   compiles once; there is no per-iteration Python.
 """
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

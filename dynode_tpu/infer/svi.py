@@ -11,13 +11,13 @@ overhead is zero, and the ELBO gradient differentiates through the ODE
 engine's checkpointed scan like any other JAX function.
 """
 
-from typing import Any, Callable, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..dist import Delta, MultivariateNormal, Normal, TransformedDistribution
+from ..dist import Delta, MultivariateNormal, Normal
 from ..dist.transforms import biject_to
 from . import handlers
 from .util import (

@@ -8,7 +8,7 @@ to pcoeff=0, icoeff=1, dcoeff=0 -- a plain I-controller -- which is what we
 implement, with the same safety/factor clamps.
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
