@@ -32,7 +32,7 @@ from dynode_tpu.models.multistrain import (
 DURATION = 100
 NUM_WARMUP = 200
 NUM_SAMPLES = 200
-NUM_CHAINS = 4096
+NUM_CHAINS = 1024
 MAX_TREE_DEPTH = 6  # ample for a 3-parameter posterior; bounds lockstep cost
 
 
