@@ -411,6 +411,23 @@ class MCMC:
         }
         self._samples = samples
         self._extra_fields = extras
+        # loud diagnostics for frozen chains (a stuck chain silently wrecks
+        # ESS; better to hear about it than to read it off a flat traceplot)
+        if self.num_samples >= 4:
+            z_np = np.asarray(jax.device_get(z))  # (chains, draws, D)
+            spread = z_np.std(axis=1).max(axis=-1)  # per-chain max-coord std
+            stuck = np.where(spread < 1e-8)[0]
+            if stuck.size:
+                import warnings
+
+                warnings.warn(
+                    f"{stuck.size} of {self.num_chains} chains produced "
+                    f"(near-)constant samples (chains {stuck[:10].tolist()}"
+                    f"{'...' if stuck.size > 10 else ''}); their draws are "
+                    "not exploring the posterior. Check warmup diagnostics "
+                    "or re-run with different seeds.",
+                    stacklevel=3,
+                )
 
     def get_samples(self, group_by_chain: bool = False) -> Dict[str, jax.Array]:
         """Posterior samples per site: (C*S, ...) or (C, S, ...) arrays."""
