@@ -12,7 +12,6 @@ dataclasses -> ``dynode.struct.pytree_dataclass``).
 import sys
 
 import dynode_tpu as _impl
-from dynode_tpu import *  # noqa: F401,F403
 
 for _sub in (
     "config",
@@ -33,3 +32,9 @@ for _sub in (
 
 __all__ = list(_impl.__all__)
 __version__ = _impl.__version__
+
+
+def __getattr__(name):
+    # forward everything else (lazily, so vis helpers don't pull matplotlib
+    # in at import time)
+    return getattr(_impl, name)

@@ -17,8 +17,9 @@ A from-scratch rebuild of the capabilities of CDCgov/DynODE
 - ``dynode_tpu.ops`` holds Pallas TPU kernels for the hot, fused
   right-hand-side evaluations of large stratified models.
 
-The public API mirrors the reference's five module layers: ``config``,
-``simulation``, ``infer``, ``typing``, ``utils``.
+The public surface is a superset of the reference's top-level exports
+(reference: src/dynode/__init__.py) so model code ports with an import swap
+(or verbatim via the ``dynode`` alias package).
 """
 
 from . import (
@@ -31,15 +32,29 @@ from . import (
     utils,
 )
 from .config import (
+    AgeBin,
     Bin,
     Compartment,
+    DeterministicParameter,
     Dimension,
+    DiscretizedPositiveIntBin,
+    FullStratifiedImmuneHistoryDimension,
+    ImmuneHistoryDimension,
     Initializer,
+    LastStrainImmuneHistoryDimension,
     Params,
+    PlaceholderSample,
+    SamplePlaceholderError,
     SimulationConfig,
     SolverParams,
     Strain,
     TransmissionParams,
+    VaccinationDimension,
+    WaneBin,
+    WaneDimension,
+    get_dynode_init_date_flag,
+    set_dynode_init_date_flag,
+    simulation_day,
 )
 from .infer import (
     InferenceProcess,
@@ -50,10 +65,61 @@ from .infer import (
     sample_distributions,
     sample_then_resolve,
 )
-from .simulation import AbstractODEParams, simulate
+from .simulation import (
+    AbstractODEParams,
+    simulate,
+    simulate_ensemble,
+)
 from .struct import pytree_dataclass
+from .typing import (
+    CompartmentGradients,
+    CompartmentState,
+    CompartmentTimeseries,
+    DynodeName,
+    ObservedData,
+    ODE_Eqns,
+    UnitIntervalFloat,
+)
+from .utils import (
+    CustomLogFormatter,
+    base_equation,
+    conditional_knots,
+    date_to_epi_week,
+    date_to_sim_day,
+    drop_keys_with_substring,
+    evaluate_cubic_spline,
+    flatten_list_parameters,
+    identify_distribution_indexes,
+    log_decorator,
+    logger,
+    sim_day_to_date,
+    sim_day_to_epiweek,
+    use_logging,
+    vectorize_objects,
+)
 
 __version__ = "0.1.0"
+
+_LAZY_VIS = (
+    "plot_violin_plots",
+    "plot_prior_distributions",
+    "plot_mcmc_chains",
+    "plot_checkpoint_inference_correlation_pairs",
+    "plot_model_overview_subplot_matplotlib",
+)
+
+
+def __getattr__(name):
+    # plot functions (and the `log` module alias the reference exports)
+    # resolve lazily so headless jobs never import matplotlib
+    if name in _LAZY_VIS:
+        return getattr(utils, name)
+    if name == "log":
+        from .utils import log as _log_module
+
+        return _log_module
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 
 __all__ = [
     "config",
@@ -63,23 +129,66 @@ __all__ = [
     "parallel",
     "simulation",
     "utils",
-    "Bin",
-    "Compartment",
-    "Dimension",
-    "Initializer",
-    "Params",
     "SimulationConfig",
-    "SolverParams",
+    "Initializer",
+    "Compartment",
     "Strain",
+    "Dimension",
+    "VaccinationDimension",
+    "ImmuneHistoryDimension",
+    "FullStratifiedImmuneHistoryDimension",
+    "LastStrainImmuneHistoryDimension",
+    "WaneDimension",
+    "Bin",
+    "WaneBin",
+    "DiscretizedPositiveIntBin",
+    "AgeBin",
+    "Params",
+    "SolverParams",
     "TransmissionParams",
+    "simulation_day",
+    "set_dynode_init_date_flag",
+    "get_dynode_init_date_flag",
+    "PlaceholderSample",
+    "SamplePlaceholderError",
+    "DeterministicParameter",
+    "sample_then_resolve",
+    "resolve_deterministic",
+    "sample_distributions",
     "InferenceProcess",
     "MCMCProcess",
     "SVIProcess",
     "checkpoint_compartment_sizes",
-    "resolve_deterministic",
-    "sample_distributions",
-    "sample_then_resolve",
-    "AbstractODEParams",
     "simulate",
+    "simulate_ensemble",
+    "AbstractODEParams",
     "pytree_dataclass",
+    "CompartmentState",
+    "CompartmentGradients",
+    "DynodeName",
+    "CompartmentTimeseries",
+    "UnitIntervalFloat",
+    "ObservedData",
+    "ODE_Eqns",
+    "log",
+    "use_logging",
+    "log_decorator",
+    "CustomLogFormatter",
+    "logger",
+    "sim_day_to_date",
+    "sim_day_to_epiweek",
+    "date_to_sim_day",
+    "date_to_epi_week",
+    "vectorize_objects",
+    "flatten_list_parameters",
+    "drop_keys_with_substring",
+    "identify_distribution_indexes",
+    "evaluate_cubic_spline",
+    "base_equation",
+    "conditional_knots",
+    "plot_violin_plots",
+    "plot_prior_distributions",
+    "plot_mcmc_chains",
+    "plot_checkpoint_inference_correlation_pairs",
+    "plot_model_overview_subplot_matplotlib",
 ]
