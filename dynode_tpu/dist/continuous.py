@@ -16,6 +16,22 @@ def _f(x):
     return jnp.asarray(x, dtype=jnp.result_type(float))
 
 
+def _log_diff_ndtr(a, b):
+    """log(Phi(b) - Phi(a)) for a < b, stable when both bounds share a tail.
+
+    Direct ``log(ndtr(b) - ndtr(a))`` cancels to log(0) when both bounds sit
+    in the far right tail (ADVICE r1). Work in log space: in the right tail
+    use the symmetric form Phi(b) - Phi(a) = Phi(-a) - Phi(-b), so the
+    difference is between two *small* quantities held in log representation.
+    """
+    right = a > 0.0
+    big = jnp.where(right, jsp.log_ndtr(-a), jsp.log_ndtr(b))
+    small = jnp.where(right, jsp.log_ndtr(-b), jsp.log_ndtr(a))
+    # log(exp(big) - exp(small)) = big + log1p(-exp(small - big));
+    # small=-inf (one-sided truncation) gives exp(-inf)=0 exactly.
+    return big + jnp.log1p(-jnp.exp(small - big))
+
+
 class Normal(Distribution):
     support = C.real
 
@@ -303,8 +319,7 @@ class TruncatedNormal(Distribution):
         a, b = self._std_bounds()
         z = (_f(value) - _f(self.loc)) / _f(self.scale)
         base = -0.5 * z * z - jnp.log(_f(self.scale)) - _LOG_SQRT_2PI
-        # normalizer: log(Phi(b) - Phi(a)), computed stably from ndtr
-        log_z = jnp.log(jsp.ndtr(b) - jsp.ndtr(a))
+        log_z = _log_diff_ndtr(a, b)
         inside = (z >= a) & (z <= b)
         return jnp.where(inside, base - log_z, -jnp.inf)
 

@@ -145,12 +145,26 @@ class Delta(Distribution):
     Used by autoguides to emit transformed latent sites whose density is
     accounted against the underlying flat latent (the ``log_density`` carries
     the negative jacobian correction), mirroring numpyro's Delta mechanics.
+
+    ``event_dim`` marks the trailing ``event_dim`` axes of ``value`` as event
+    dimensions: ``log_prob`` broadcasts ``log_density`` over the *batch*
+    shape only, so a scalar jacobian correction attached to a vector latent
+    is counted exactly once when the trace sums site log-probs (not once per
+    element).
     """
 
-    def __init__(self, value, log_density=0.0):
+    def __init__(self, value, log_density=0.0, event_dim=0):
         self.value = value
         self._log_density = log_density
-        self._batch_shape = jnp.shape(value)
+        self.event_dim = int(event_dim)
+        shape = jnp.shape(value)
+        if self.event_dim > len(shape):
+            raise ValueError(
+                f"event_dim {event_dim} exceeds value rank {len(shape)}"
+            )
+        split = len(shape) - self.event_dim
+        self._batch_shape = shape[:split]
+        self._event_shape = shape[split:]
 
     def sample(self, key, sample_shape=()):
         return jnp.broadcast_to(
@@ -158,9 +172,10 @@ class Delta(Distribution):
         )
 
     def log_prob(self, value):
+        batch = jnp.shape(value)[: jnp.ndim(value) - self.event_dim]
         return jnp.broadcast_to(
             jnp.asarray(self._log_density, dtype=jnp.result_type(float)),
-            jnp.shape(value),
+            batch,
         )
 
     @property

@@ -343,12 +343,19 @@ class MCMC:
         # to 20 times per bad chain, numpyro-find_valid_initial_params style
         check = jax.jit(jax.vmap(pot_and_grad))
         redraw_key = key_init
-        for _attempt in range(20):
+        # validate-then-redraw: 21 validations bracket 20 redraw rounds, so
+        # the final round's redraws are re-checked before we give up.
+        for _attempt in range(21):
             pe0, g0 = check(z0s)
             ok = jnp.isfinite(pe0) & jnp.all(jnp.isfinite(g0), axis=-1)
             bad = [int(i) for i in jnp.where(~ok)[0]]
             if not bad:
                 break
+            if _attempt == 20:
+                raise RuntimeError(
+                    "could not find finite initial potentials/gradients for "
+                    f"all chains after 20 redraws (bad chains: {bad})"
+                )
             for i in bad:
                 redraw_key, sub = jax.random.split(redraw_key)
                 c_con = initialize_latents(tr, sub, self.kernel.init_strategy)
@@ -359,11 +366,6 @@ class MCMC:
                     unconstrain_sample(transforms, c_con),
                 )
                 z0s = z0s.at[i].set(zi)
-        else:
-            raise RuntimeError(
-                "could not find finite initial potentials/gradients for all "
-                f"chains after 20 redraws (bad chains: {bad})"
-            )
 
         chain_keys = jax.random.split(key_run, self.num_chains)
 

@@ -133,7 +133,12 @@ class AutoGuide:
             t = self._transforms[name]
             c = t(u)
             ldj = jnp.sum(t.log_abs_det_jacobian(u, c))
-            out[name] = handlers.sample(name, Delta(c, log_density=-ldj))
+            # event_dim=c.ndim: the scalar -ldj must enter the ELBO exactly
+            # once per site, not broadcast over every element of c
+            # (ADVICE r1: non-scalar latents otherwise optimize -ldj*size(c)).
+            out[name] = handlers.sample(
+                name, Delta(c, log_density=-ldj, event_dim=jnp.ndim(c))
+            )
         return out
 
     def __call__(self, *args, **kwargs):

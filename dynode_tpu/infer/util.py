@@ -184,7 +184,10 @@ def init_to_mean(site: Dict[str, Any], rng_key):
 def init_to_uniform(site: Dict[str, Any], rng_key, radius: float = 2.0):
     """Init uniformly in [-radius, radius] in *unconstrained* space."""
     t = biject_to(site["fn"].support)
-    shape = jnp.shape(site["value"])
+    # draw in the UNCONSTRAINED shape (differs from the constrained one for
+    # e.g. simplex supports: StickBreaking maps R^K -> (K+1)-simplex), else
+    # the init value has the wrong trailing dimension (ADVICE r1).
+    shape = jnp.shape(t.inv(site["value"]))
     u = jax.random.uniform(rng_key, shape, minval=-radius, maxval=radius)
     return t(u)
 

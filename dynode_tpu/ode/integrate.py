@@ -18,9 +18,11 @@ with a TPU-first design:
   math (a real branch when unbatched, a select under vmap).
 - **Dense output as a vectorized post-pass**: accepted segments live in a
   contiguous (budget, state) buffer; save times are located with one
-  ``searchsorted`` and evaluated with cubic Hermite interpolation
-  (endpoint derivatives recomputed in a single vmapped RHS call). Cubic
-  Hermite preserves linear invariants (compartment mass conservation) exactly.
+  ``searchsorted``, then each is evaluated by taking ONE fresh solver step
+  of size ``s - t_start`` from the stored segment start (a single vmapped
+  batch over all save points). Re-stepping is accurate to the solver's own
+  order, preserves linear invariants (mass conservation) exactly, and
+  reproduces segment endpoints bitwise.
 - **Kahan-compensated time accumulation** keeps the t grid accurate in
   float32 on TPU without requiring x64.
 - **Internally jitted**: the core is a module-level jit with hashable static
