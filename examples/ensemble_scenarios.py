@@ -7,7 +7,7 @@ then fit strain transmission multipliers to synthetic observations with a
 wide bank of vectorized NUTS chains (optionally sharded over a device mesh).
 """
 
-import _bootstrap  # noqa: F401  (repo-root sys.path shim)
+import _bootstrap
 
 import jax
 import jax.numpy as jnp
@@ -25,8 +25,12 @@ from dynode_tpu.models.multistrain import (
 )
 from dynode_tpu.ops import ensemble_solve_tsit5, unpack_saves
 
-ENSEMBLE = 4096
-DURATION = 200
+FAST = _bootstrap.fast_mode()
+ENSEMBLE = 256 if FAST else 4096
+DURATION = 50 if FAST else 200
+WARMUP = 30 if FAST else 150
+SAMPLES = 30 if FAST else 150
+CHAINS = 4 if FAST else 64
 
 if __name__ == "__main__":
     config = multistrain_config(
@@ -55,9 +59,11 @@ if __name__ == "__main__":
     # ---- 2) many-chain NUTS fit against synthetic observations ------------
     sp = config.parameters.solver_params
 
+    fit_days = 50 if FAST else 100
+
     def forward(scales):
         p = base.replace(beta=base.beta * scales)
-        return simulate(multistrain_ode, 100, y0, p, sp).ys[-1]
+        return simulate(multistrain_ode, fit_days, y0, p, sp).ys[-1]
 
     true_scales = jnp.array([1.1, 0.95, 1.05])
     obs = jax.random.poisson(
@@ -77,9 +83,9 @@ if __name__ == "__main__":
 
     mcmc = MCMC(
         NUTS(model, dense_mass=True, max_tree_depth=6),
-        num_warmup=150,
-        num_samples=150,
-        num_chains=64,          # wide vectorized chain bank
+        num_warmup=WARMUP,
+        num_samples=SAMPLES,
+        num_chains=CHAINS,      # wide vectorized chain bank
         steps_per_call=16,      # bound each on-chip program (TPU watchdog)
         progress_bar=True,
     )

@@ -6,7 +6,7 @@ SVI fits of the r0/infectious-period priors, posterior inspection, and a
 posterior-predictive projection to a longer horizon with obs_data=None.
 """
 
-import _bootstrap  # noqa: F401  (repo-root sys.path shim)
+import _bootstrap
 
 import jax
 import jax.numpy as jnp
@@ -53,32 +53,38 @@ def get_config() -> SimulationConfig:
 
 
 if __name__ == "__main__":
+    FAST = _bootstrap.fast_mode()
+    tf_fit = 50 if FAST else 100
     # synthetic data from the fixed-parameter model
     config_static = get_static_config()
-    solution = run_simulation(config_static, tf=100)
+    solution = run_simulation(config_static, tf=tf_fit)
     idx = config_static.idx
     incidence = jnp.diff(solution.ys[idx.r], axis=0)
 
     config_infer = get_config()
     inference_process_mcmc = MCMCProcess(
         numpyro_model=model,
-        num_warmup=500,
-        num_samples=100,
+        num_warmup=100 if FAST else 500,
+        num_samples=50 if FAST else 100,
         num_chains=1,
         nuts_max_tree_depth=10,
     )
     inference_process_svi = SVIProcess(
         numpyro_model=model,
-        num_iterations=500,
-        num_samples=100,
+        num_iterations=100 if FAST else 500,
+        num_samples=50 if FAST else 100,
     )
 
     print("fitting MCMC")
-    inference_process_mcmc.infer(config=config_infer, tf=100, obs_data=incidence)
+    inference_process_mcmc.infer(
+        config=config_infer, tf=tf_fit, obs_data=incidence
+    )
     posterior_samples_mcmc = inference_process_mcmc.get_samples()
 
     print("fitting SVI")
-    inference_process_svi.infer(config=config_infer, tf=100, obs_data=incidence)
+    inference_process_svi.infer(
+        config=config_infer, tf=tf_fit, obs_data=incidence
+    )
     posterior_samples_svi = inference_process_svi.get_samples()
 
     print(
@@ -95,7 +101,8 @@ if __name__ == "__main__":
     print(mcmc_arviz)
     print("posterior summary:", mcmc_arviz.summary())
 
-    # project forward to tf=200 with no observations
+    # project forward to a longer horizon with no observations
+    tf_proj = 2 * tf_fit
     predictive_mcmc = Predictive(
         model,
         posterior_samples=posterior_samples_mcmc,
@@ -104,7 +111,7 @@ if __name__ == "__main__":
     posterior_incidence_mcmc = predictive_mcmc(
         rng_key=inference_process_mcmc.inference_prngkey,
         config=config_infer,
-        tf=200,
+        tf=tf_proj,
         obs_data=None,
     )
 
@@ -113,12 +120,12 @@ if __name__ == "__main__":
         model,
         guide=inference_process_svi._inferer.guide,
         params=svi_state.params,
-        num_samples=1000,
+        num_samples=100 if FAST else 1000,
     )
     posterior_incidence_svi = predictive_svi(
         rng_key=inference_process_mcmc.inference_prngkey,
         config=config_infer,
-        tf=200,
+        tf=tf_proj,
         obs_data=None,
     )
 

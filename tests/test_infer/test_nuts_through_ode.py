@@ -1,0 +1,140 @@
+"""End-to-end NUTS through the adaptive ODE solve (the flagship path).
+
+CI-sized port of examples/sir_infer_parameters.py (reference workload:
+/root/reference/examples/sir_infer_parameters.py:92-116): synthesize Poisson
+incidence from a fixed age-stratified SIR, fit r0 and infectious_period with
+NUTS whose gradients flow through the adaptive solver, and assert posterior
+recovery of the generating values — the BASELINE.md posterior-parity
+criterion as an executable witness.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dynode_tpu.dist as dist
+from dynode_tpu import MCMCProcess, Strain, SVIProcess, simulate
+from dynode_tpu.infer import handlers, sample_then_resolve
+from dynode_tpu.models.sir import SIRParams, sir_age_config, sir_ode
+
+TRUE_R0 = 2.0
+TRUE_INF_PERIOD = 7.0
+TF = 50
+
+
+def _run_simulation(config, tf):
+    tp = sample_then_resolve(config.parameters.transmission_params)
+    strain = tp.strains[0]
+    params = SIRParams(
+        beta=jnp.asarray(strain.r0 / strain.infectious_period),
+        gamma=jnp.asarray(1.0 / strain.infectious_period),
+        contact_matrix=tp.contact_matrix,
+    )
+    return simulate(
+        ode=sir_ode,
+        duration_days=tf,
+        initial_state=config.initializer.get_initial_state(),
+        ode_parameters=params,
+        solver_parameters=config.parameters.solver_params,
+    )
+
+
+def _model(config, tf, obs_data):
+    solution = _run_simulation(config, tf)
+    incidence = jnp.diff(solution.ys[config.idx.r], axis=0)
+    incidence = jnp.maximum(incidence, 1e-6)
+    handlers.sample("inf_incidence", dist.Poisson(incidence), obs=obs_data)
+    return solution
+
+
+POPULATION = 100_000  # large counts -> tight Poisson likelihood, so the
+# posterior concentrates on the generating values and the 1% parity
+# criterion (BASELINE.md) is directly assertable.
+
+
+@pytest.fixture(scope="module")
+def observed_incidence():
+    config = sir_age_config(r_0=TRUE_R0, infectious_period=TRUE_INF_PERIOD)
+    config.initializer.population_size = POPULATION
+    sol = _run_simulation(config, TF)
+    expected = jnp.diff(sol.ys[config.idx.r], axis=0)
+    return jax.random.poisson(jax.random.PRNGKey(0), expected).astype(
+        jnp.result_type(float)
+    )
+
+
+@pytest.fixture(scope="module")
+def prior_config():
+    config = sir_age_config()
+    config.initializer.population_size = POPULATION
+    config.parameters.transmission_params.strains = [
+        Strain(
+            strain_name="swo9",
+            r0=dist.TransformedDistribution(
+                dist.Beta(0.5, 0.5), dist.AffineTransform(1.5, 1)
+            ),
+            infectious_period=dist.TruncatedNormal(
+                loc=8, scale=2, low=2, high=15
+            ),
+        )
+    ]
+    return config
+
+
+@pytest.fixture(scope="module")
+def mcmc_fit(prior_config, observed_incidence):
+    proc = MCMCProcess(
+        numpyro_model=_model,
+        num_warmup=150,
+        num_samples=100,
+        num_chains=4,
+        nuts_max_tree_depth=8,
+        progress_bar=False,
+    )
+    proc.infer(config=prior_config, tf=TF, obs_data=observed_incidence)
+    return proc
+
+
+class TestNUTSThroughODE:
+    def test_posterior_recovers_generating_values(self, mcmc_fit):
+        samples = mcmc_fit.get_samples()
+        r0 = float(jnp.mean(samples["strains_0_r0"]))
+        ip = float(jnp.mean(samples["strains_0_infectious_period"]))
+        # BASELINE.md posterior-parity criterion: within 1% of the
+        # generating values (the likelihood is tight at this population).
+        assert r0 == pytest.approx(TRUE_R0, rel=0.01), r0
+        assert ip == pytest.approx(TRUE_INF_PERIOD, rel=0.01), ip
+
+    def test_zero_divergences(self, mcmc_fit):
+        extras = mcmc_fit._inferer.get_extra_fields()
+        assert int(jnp.sum(extras["diverging"])) == 0
+
+    def test_chains_mixed(self, mcmc_fit):
+        # per-chain posterior means must agree across all 4 chains
+        by_chain = mcmc_fit.get_samples(group_by_chain=True)
+        r0_chain_means = jnp.mean(by_chain["strains_0_r0"], axis=1)
+        assert float(jnp.max(r0_chain_means) - jnp.min(r0_chain_means)) < 0.02
+
+    def test_sample_shapes_and_finiteness(self, mcmc_fit):
+        samples = mcmc_fit.get_samples()
+        assert samples["strains_0_r0"].shape == (400,)
+        for v in samples.values():
+            assert bool(jnp.all(jnp.isfinite(v)))
+
+
+class TestSVIThroughODE:
+    def test_svi_recovers_generating_values(
+        self, prior_config, observed_incidence
+    ):
+        proc = SVIProcess(
+            numpyro_model=_model,
+            num_iterations=400,
+            num_samples=200,
+            progress_bar=False,
+        )
+        proc.infer(config=prior_config, tf=TF, obs_data=observed_incidence)
+        samples = proc.get_samples()
+        r0 = float(jnp.mean(samples["strains_0_r0"]))
+        ip = float(jnp.mean(samples["strains_0_infectious_period"]))
+        assert r0 == pytest.approx(TRUE_R0, rel=0.02), r0
+        assert ip == pytest.approx(TRUE_INF_PERIOD, rel=0.03), ip
