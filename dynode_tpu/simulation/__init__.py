@@ -6,6 +6,8 @@
 from .odes import (
     AbstractODEParams,
     build_saveat,
+    ensemble_rhs,
+    ensemble_state,
     simulate,
     simulate_ensemble,
     tune_step_budget,
@@ -14,6 +16,8 @@ from .odes import (
 __all__ = [
     "simulate",
     "simulate_ensemble",
+    "ensemble_rhs",
+    "ensemble_state",
     "build_saveat",
     "AbstractODEParams",
     "tune_step_budget",

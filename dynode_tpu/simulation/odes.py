@@ -164,6 +164,71 @@ def _sub_save_mask(sub_save_indices: Tuple[int, ...]):
     return mask
 
 
+def ensemble_state(
+    initial_state: CompartmentState, batch: int
+) -> CompartmentState:
+    """Broadcast one initial state to lane-major layout: each compartment
+    gains a TRAILING ensemble axis, ``(*dims, batch)``."""
+    return tuple(
+        jnp.broadcast_to(a[..., None], a.shape + (batch,))
+        for a in initial_state
+    )
+
+
+def ensemble_rhs(ode: ODE_Eqns, param_axes=0) -> ODE_Eqns:
+    """Mechanically rewrite a scalar RHS to the lane-major (batch-last)
+    ensemble layout.
+
+    TPU vector registers are (8 sublanes, 128 lanes) tiles; a compartment
+    shaped ``(2 ages, 3 strains)`` occupies one tile at <3% utilization, so
+    a batch-LEADING vmap wastes ~97% of every vector op. Putting the
+    ensemble axis LAST fills the lanes instead -- measured 142x on the SEIP
+    model (102 -> 14.5k traj/s, see models/seip.py). This wrapper gives any
+    user-authored RHS that layout without hand-porting:
+
+    ``ensemble_rhs(ode)(t, state_b, params_b)`` where every ``state_b``
+    compartment carries a trailing ensemble axis (:func:`ensemble_state`)
+    and every traced leaf of ``params_b`` carries the axis given by
+    ``param_axes`` (default: leading, matching
+    :func:`simulate_ensemble`'s convention; use a pytree of axes for mixed
+    shared/per-member parameters, ``None`` = shared).
+
+    Under one :func:`simulate` call the whole ensemble shares a single
+    adaptive step-size chain (the error norm spans the batch, so dt tracks
+    the stiffest member -- every member is solved at full accuracy, some at
+    smaller steps than they need). With ``constant_step_size`` the result
+    is member-for-member identical to the batch-leading layout.
+    """
+    if param_axes == 0:
+        # stable identity for the common case so repeated
+        # simulate(ensemble_rhs(ode), ...) calls hit the engine's jit cache
+        return _ensemble_rhs_cached(ode)
+    return _build_ensemble_rhs(ode, param_axes)
+
+
+@lru_cache(maxsize=128)
+def _ensemble_rhs_cached(ode):
+    return _build_ensemble_rhs(ode, 0)
+
+
+def _build_ensemble_rhs(ode, param_axes):
+    batched = jax.vmap(ode, in_axes=(None, -1, param_axes), out_axes=-1)
+
+    def rhs(t, state, params):
+        return batched(t, state, params)
+
+    # preserve the params type hint so simulate()'s runtime signature check
+    # keeps validating user mistakes through the wrapper
+    try:
+        hints = get_type_hints(ode)
+        spec = getfullargspec(ode)
+        if len(spec.args) >= 3 and spec.args[2] in hints:
+            rhs.__annotations__["params"] = hints[spec.args[2]]
+    except Exception:
+        pass
+    return rhs
+
+
 def simulate_ensemble(
     ode: ODE_Eqns,
     duration_days: int,
@@ -174,6 +239,7 @@ def simulate_ensemble(
     save_step: int = 1,
     mesh=None,
     axis_name: str = "ensemble",
+    layout: str = "batch_leading",
 ) -> Solution:
     """Vectorize :func:`simulate` over a batch of parameter pytrees.
 
@@ -182,12 +248,43 @@ def simulate_ensemble(
     one XLA program; pass ``mesh=`` to shard the batch axis across devices
     (GSPMD data parallelism -- no collectives needed).
 
-    Returns a Solution whose ``ys``/``stats``/``result`` gain a leading
-    batch axis.
+    ``layout`` selects the on-device data layout:
+
+    - ``"batch_leading"`` (default): ``vmap(simulate)`` with the ensemble
+      axis in front; every member gets its own adaptive dt chain.
+      ``ys``/``stats``/``result`` gain a LEADING batch axis.
+    - ``"lane_major"``: the ensemble axis is placed LAST so it fills the
+      TPU's 128-wide vector lanes (see :func:`ensemble_rhs`; ~16x on the
+      multistrain model, 142x on SEIP vs batch_leading). One shared dt
+      chain; ``ys`` gain a TRAILING batch axis and ``result``/``stats``
+      are ensemble-wide scalars.
     """
     if any(not isinstance(c, Array) for c in initial_state):
         raise TypeError(
             "Please pass jax.numpy.array instead of np.array to ODEs"
+        )
+    if layout not in ("batch_leading", "lane_major"):
+        raise ValueError(f"unknown ensemble layout: {layout!r}")
+
+    if mesh is not None:
+        from ..parallel import shard_batch
+
+        sharding = shard_batch(mesh, axis_name)
+        ode_parameters_batch = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, sharding), ode_parameters_batch
+        )
+
+    if layout == "lane_major":
+        batch = jax.tree_util.tree_leaves(ode_parameters_batch)[0].shape[0]
+        y0b = ensemble_state(initial_state, batch)
+        return simulate(
+            ensemble_rhs(ode),
+            duration_days,
+            y0b,
+            ode_parameters_batch,
+            solver_parameters,
+            sub_save_indices=sub_save_indices,
+            save_step=save_step,
         )
 
     def solve_one(params):
@@ -201,13 +298,6 @@ def simulate_ensemble(
             save_step=save_step,
         )
 
-    if mesh is not None:
-        from ..parallel import shard_batch
-
-        sharding = shard_batch(mesh, axis_name)
-        ode_parameters_batch = jax.tree_util.tree_map(
-            lambda leaf: jax.device_put(leaf, sharding), ode_parameters_batch
-        )
     return jax.jit(jax.vmap(solve_one))(ode_parameters_batch)
 
 
@@ -240,6 +330,8 @@ __all__ = [
     "AbstractODEParams",
     "simulate",
     "simulate_ensemble",
+    "ensemble_rhs",
+    "ensemble_state",
     "build_saveat",
     "tune_step_budget",
 ]
