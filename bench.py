@@ -126,10 +126,8 @@ def bench_xla_adaptive(cfg, base, y0, n, repeats=2):
     return n / best
 
 
-def bench_cpu_reference(cfg, base, y0, n):
-    """CPU baseline uses the CPU-friendliest path we have (the adaptive
-    jit(vmap) engine) rather than the lane-major kernel layout, so the
-    reported speedup is not inflated by a layout that only suits TPUs."""
+def bench_cpu_adaptive(cfg, base, y0, n):
+    """Adaptive-program CPU baseline (same program as bench_xla_adaptive)."""
     cpu = jax.devices("cpu")[0]
     sp = cfg.parameters.solver_params
 
@@ -145,6 +143,45 @@ def bench_cpu_reference(cfg, base, y0, n):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(draws))
         return n / (time.perf_counter() - t0)
+
+
+def bench_cpu_constant(base, y0, n):
+    """Constant-step CPU baseline: the SAME numerical program as the TPU
+    headline (constant-step Tsit5, dt=DT, daily direct saves), measured in
+    both layouts (batch-leading vmap and batch-last lane-major) with the
+    better one reported -- so vs_baseline is a same-program, best-CPU-layout
+    ratio, not adaptive-vs-constant apples-to-oranges."""
+    cpu = jax.devices("cpu")[0]
+    sp = multistrain_config(
+        solver_params=SolverParams(constant_step_size=DT)
+    ).parameters.solver_params
+
+    def solve_one(r0_scale):
+        p = base.replace(beta=base.beta * r0_scale)
+        sol = simulate(multistrain_ode, DURATION, y0, p, sp)
+        return sol.ys[4]
+
+    with jax.default_device(cpu):
+        best = 0.0
+        # layout 1: batch-leading vmap of the scalar RHS
+        fn = jax.jit(jax.vmap(solve_one))
+        jax.block_until_ready(fn(jax.device_put(_draws(n), cpu)))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(jax.device_put(_draws(n, 1), cpu)))
+        best = max(best, n / (time.perf_counter() - t0))
+        # layout 2: batch-last lane-major ensemble RHS
+        y0b = multistrain_ensemble_state(y0, n)
+
+        def run_lane(draws):
+            pb = multistrain_ensemble_params(base, draws)
+            return simulate(multistrain_ode_ensemble, DURATION, y0b, pb, sp).ys[4]
+
+        fn2 = jax.jit(run_lane)
+        jax.block_until_ready(fn2(jax.device_put(_draws(n), cpu)))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn2(jax.device_put(_draws(n, 1), cpu)))
+        best = max(best, n / (time.perf_counter() - t0))
+        return best
 
 
 def main():
@@ -175,6 +212,7 @@ def main():
         print(f"[bench] lane-major XLA path failed: {e}", file=sys.stderr)
     tps = max(pallas_tps, lane_tps)
 
+    xla_tps = 0.0
     try:
         xla_tps = bench_xla_adaptive(cfg, base, y0, ENSEMBLE)
         print(
@@ -184,17 +222,30 @@ def main():
     except Exception as e:  # secondary measurement must not kill the bench
         print(f"[bench] xla adaptive path failed: {e}", file=sys.stderr)
 
+    # same-program ratios: constant/constant (headline) + adaptive/adaptive
     vs_baseline = 0.0
+    vs_adaptive = 0.0
     try:
-        cpu_tps = bench_cpu_reference(cfg, base, y0, CPU_ENSEMBLE)
-        vs_baseline = tps / cpu_tps
+        cpu_const_tps = bench_cpu_constant(base, y0, CPU_ENSEMBLE)
+        vs_baseline = tps / cpu_const_tps
         print(
-            f"[bench] cpu adaptive baseline:    {cpu_tps:,.0f} traj/s -> "
-            f"speedup {vs_baseline:.1f}x",
+            f"[bench] cpu constant-step baseline (same program, best "
+            f"layout): {cpu_const_tps:,.0f} traj/s -> speedup "
+            f"{vs_baseline:.1f}x",
             file=sys.stderr,
         )
     except Exception as e:
-        print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+        print(f"[bench] cpu constant baseline failed: {e}", file=sys.stderr)
+    try:
+        cpu_adapt_tps = bench_cpu_adaptive(cfg, base, y0, CPU_ENSEMBLE)
+        vs_adaptive = xla_tps / cpu_adapt_tps if cpu_adapt_tps else 0.0
+        print(
+            f"[bench] cpu adaptive baseline:    {cpu_adapt_tps:,.0f} traj/s "
+            f"-> adaptive/adaptive speedup {vs_adaptive:.1f}x",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] cpu adaptive baseline failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -203,6 +254,7 @@ def main():
                 "value": round(tps, 1),
                 "unit": "traj/s",
                 "vs_baseline": round(vs_baseline, 2),
+                "vs_baseline_adaptive_same_program": round(vs_adaptive, 2),
             }
         )
     )

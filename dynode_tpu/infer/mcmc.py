@@ -132,7 +132,12 @@ class MCMC:
         )
         in_slow, win_end = build_warmup_schedule(self.num_warmup)
         flags = jnp.stack(
-            [jnp.asarray(in_slow), jnp.asarray(win_end)], axis=-1
+            [
+                jnp.asarray(in_slow),
+                jnp.asarray(win_end),
+                jnp.ones_like(jnp.asarray(in_slow)),
+            ],
+            axis=-1,
         )
         dummy = jnp.arange(self.num_samples)
 
@@ -193,43 +198,60 @@ class MCMC:
             )
 
         def warmup_step(carry, flags):
-            state, da, wf, inv_mass, chol = carry
-            slow, end = flags
-            eps = jnp.exp(da.log_eps) if kern.adapt_step_size else jnp.exp(da.log_eps_avg)
-            state = nuts_transition(
-                pot_and_grad, inv_mass, chol, eps, max_depth, state
-            )
-            if kern.adapt_step_size:
-                da = da_update(da, state.accept_prob, target=target)
-            if kern.adapt_mass_matrix:
-                wf = jax.lax.cond(
-                    slow, lambda w: welford_update(w, state.z), lambda w: w, wf
-                )
+            # flags = (slow, end, active); active=0 marks a padding step
+            # (chunked execution pads every chunk to a fixed length so only
+            # ONE warmup program is ever compiled -- a remainder-sized chunk
+            # would otherwise trigger a full recompile)
+            slow, end, active = flags
 
-                def refresh(args):
-                    state, da, wf, inv_mass, chol = args
-                    inv_new = welford_covariance(wf)
-                    chol_new = chol_of_inv(inv_new)
-                    # re-search a reasonable step size under the NEW metric
-                    # (skipping this lets chains whose step size collapsed in
-                    # a bad window death-spiral: tiny eps -> no movement ->
-                    # degenerate next covariance -> tinier eps)
-                    key, k_eps = jax.random.split(state.rng_key)
-                    eps_new = find_reasonable_step_size(
-                        pot_and_grad, inv_new, chol_new, state, k_eps
-                    )
-                    return (
-                        state._replace(rng_key=key),
-                        da_init(eps_new),
-                        welford_init(D, kern.dense_mass, dtype),
-                        inv_new,
-                        chol_new,
+            def do(carry):
+                state, da, wf, inv_mass, chol = carry
+                eps = (
+                    jnp.exp(da.log_eps)
+                    if kern.adapt_step_size
+                    else jnp.exp(da.log_eps_avg)
+                )
+                state = nuts_transition(
+                    pot_and_grad, inv_mass, chol, eps, max_depth, state
+                )
+                if kern.adapt_step_size:
+                    da = da_update(da, state.accept_prob, target=target)
+                if kern.adapt_mass_matrix:
+                    wf = jax.lax.cond(
+                        slow,
+                        lambda w: welford_update(w, state.z),
+                        lambda w: w,
+                        wf,
                     )
 
-                state, da, wf, inv_mass, chol = jax.lax.cond(
-                    end, refresh, lambda a: a, (state, da, wf, inv_mass, chol)
-                )
-            return (state, da, wf, inv_mass, chol), None
+                    def refresh(args):
+                        state, da, wf, inv_mass, chol = args
+                        inv_new = welford_covariance(wf)
+                        chol_new = chol_of_inv(inv_new)
+                        # re-search a reasonable step size under the NEW
+                        # metric (skipping this lets chains whose step size
+                        # collapsed in a bad window death-spiral: tiny eps ->
+                        # no movement -> degenerate next covariance ->
+                        # tinier eps)
+                        key, k_eps = jax.random.split(state.rng_key)
+                        eps_new = find_reasonable_step_size(
+                            pot_and_grad, inv_new, chol_new, state, k_eps
+                        )
+                        return (
+                            state._replace(rng_key=key),
+                            da_init(eps_new),
+                            welford_init(D, kern.dense_mass, dtype),
+                            inv_new,
+                            chol_new,
+                        )
+
+                    state, da, wf, inv_mass, chol = jax.lax.cond(
+                        end, refresh, lambda a: a, (state, da, wf, inv_mass, chol)
+                    )
+                return (state, da, wf, inv_mass, chol)
+
+            carry = jax.lax.cond(active, do, lambda c: c, carry)
+            return carry, None
 
         def warm_segment(carry, flags_chunk):
             carry, _ = jax.lax.scan(warmup_step, carry, flags_chunk)
@@ -261,10 +283,21 @@ class MCMC:
         )
         carry = jax.jit(jax.vmap(init_chain))(z0s, chain_keys)
 
+        # pad warmup to whole chunks with active=0 no-op steps: every chunk
+        # is then the SAME program (one compile); a remainder-sized final
+        # chunk would recompile the entire NUTS program (~minutes on the
+        # remote-compile TPU tunnel, dominating small runs)
         in_slow, win_end = build_warmup_schedule(self.num_warmup)
-        flags = np.stack([in_slow, win_end], axis=-1)
+        active = np.ones_like(in_slow)
+        flags = np.stack([in_slow, win_end, active], axis=-1)
+        n_chunks = -(-self.num_warmup // n) if self.num_warmup else 0
+        pad = n_chunks * n - self.num_warmup
+        if pad:
+            flags = np.concatenate(
+                [flags, np.zeros((pad, 3), dtype=flags.dtype)], axis=0
+            )
         warm_jit = jax.jit(jax.vmap(warm_segment, in_axes=(0, None)))
-        for start in range(0, self.num_warmup, n):
+        for start in range(0, n_chunks * n, n):
             chunk = jnp.asarray(flags[start : start + n])
             carry = warm_jit(carry, chunk)
             carry = jax.block_until_ready(carry)
@@ -277,16 +310,19 @@ class MCMC:
                 (self.num_chains,), self.kernel.step_size, dtype=dtype
             )
 
+        # fixed-size sampling chunks (single compiled program); the last
+        # chunk may overshoot num_samples -- extra valid draws are sliced
+        # off below (cheaper than compiling a second remainder program)
         sample_jit = jax.jit(jax.vmap(sample_segment, in_axes=(0, 0, 0, 0, None)))
+        dummy = jnp.arange(n)
         chunks = []
-        for start in range(0, self.num_samples, n):
-            size = min(n, self.num_samples - start)
-            dummy = jnp.arange(size)
+        for _start in range(0, self.num_samples, n):
             state, out = sample_jit(state, inv_mass, chol, eps_final, dummy)
             state = jax.block_until_ready(state)
             chunks.append(out)
         collected = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=1), *chunks
+            lambda *xs: jnp.concatenate(xs, axis=1)[:, : self.num_samples],
+            *chunks,
         )
         collected["step_size"] = eps_final
         return state, (inv_mass, chol, eps_final), collected
