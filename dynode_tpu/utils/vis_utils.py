@@ -1,17 +1,26 @@
 """Matplotlib/seaborn fit-visualization helpers.
 
-Same five-function surface as the reference (src/dynode/utils/vis_utils.py,
-which flags its own plots as dated -- vis_utils.py:22-23): model-overview
-timeseries grids, posterior-correlation pairs, MCMC trace plots, prior
-histograms, and prior-vs-posterior violins. All functions take plain dicts
-of numpy/jax arrays and return the matplotlib Figure.
+Behavior parity with the reference's five-function surface
+(src/dynode/utils/vis_utils.py:64-699): a region x metric overview grid
+drawn from a tidy DataFrame with per-chain-particle thin lines and a median
+overlay, a posterior-correlation PairGrid (annotated upper triangle,
+regression lower triangle, histogram diagonal), per-chain trace plots,
+sampled-prior histograms, and prior-vs-posterior violins. All functions
+return the matplotlib Figure; plotting backends are imported lazily so the
+compute path never pays for matplotlib/pandas/seaborn.
 """
 
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional, Union
 
 import numpy as np
 
 from .utils import drop_keys_with_substring, flatten_list_parameters
+
+_DEFAULT_STYLE: List[str] = ["seaborn-v0_8-colorblind"]
+
+
+class VisualizationError(Exception):
+    """Raised when a plot is requested for data that cannot be plotted."""
 
 
 def _plt():
@@ -23,117 +32,278 @@ def _plt():
     return plt
 
 
-def plot_model_overview_subplot_matplotlib(
-    timeseries_by_region: Dict[str, Dict[str, np.ndarray]],
-    plot_types: Optional[List[str]] = None,
-    median_color: str = "C0",
-    particle_alpha: float = 0.15,
-):
-    """Grid of region x metric timeseries.
+def _square_grid(n: int):
+    """Square-ish (rows, cols) layout for n panels (reference convention)."""
+    ncols = int(np.ceil(np.sqrt(max(n, 1))))
+    nrows = int(np.ceil(max(n, 1) / ncols))
+    return nrows, ncols
 
-    ``timeseries_by_region[region][metric]`` is ``(T,)`` or
-    ``(particles, T)``; particle draws plot as thin lines with the median
-    overlaid.
+
+def _cleanup_and_normalize_timeseries(
+    df, plot_types, plot_normalizations, region_pop_sizes
+):
+    """Zero near-zero float values and apply per-capita normalization.
+
+    A normalization of 1 leaves values untouched; N>1 scales each region's
+    matching columns by N / region_population (e.g. per-100k incidence) --
+    reference semantics, src/dynode/utils/vis_utils.py:30-61.
+    """
+    float_cols = [c for c in df.columns if df[c].dtype.kind == "f"]
+    df[float_cols] = df[float_cols].mask(
+        np.isclose(df[float_cols], 0, atol=1e-4), 0
+    )
+    for plot_type, norm in zip(plot_types, plot_normalizations):
+        if norm <= 1:
+            continue
+        cols = [c for c in df.columns if plot_type in c]
+        for region, pop in region_pop_sizes.items():
+            df.loc[df["region"] == region, cols] *= norm / pop
+    return df
+
+
+def plot_model_overview_subplot_matplotlib(
+    timeseries_df,
+    pop_sizes: Dict[str, int],
+    plot_types: Optional[np.ndarray] = None,
+    plot_titles: Optional[np.ndarray] = None,
+    plot_normalizations: Optional[np.ndarray] = None,
+    matplotlib_style: Union[List[str], str, None] = None,
+):
+    """Overview grid: one row per metric, one column per region.
+
+    ``timeseries_df`` is a tidy DataFrame with at least the columns
+    ``["date", "chain_particle", "region"]`` plus one column per metric
+    timeseries. Each metric row matches columns by substring (so
+    ``"vaccination_"`` collects ``vaccination_0_17`` etc.); every
+    chain_particle draws as a thin transparent line with the cross-particle
+    median overlaid (reference: src/dynode/utils/vis_utils.py:64-255).
     """
     plt = _plt()
-    regions = list(timeseries_by_region)
-    metrics = plot_types or sorted(
-        {m for reg in timeseries_by_region.values() for m in reg}
+    import pandas as pd
+
+    if plot_types is None:
+        plot_types = np.array(
+            [
+                "seasonality_coef",
+                "vaccination_",
+                "_external_introductions",
+                "_strain_proportion",
+                "_average_immunity",
+                "total_infection_incidence",
+                "pred_hosp_",
+            ]
+        )
+    if plot_titles is None:
+        plot_titles = plot_types.copy()
+    if plot_normalizations is None:
+        plot_normalizations = np.ones(len(plot_types), dtype=int)
+    style = matplotlib_style or _DEFAULT_STYLE
+
+    required = ["date", "chain_particle", "region"]
+    missing = [c for c in required if c not in timeseries_df.columns]
+    if missing:
+        raise AssertionError(
+            f"missing a necessary column within timeseries_df, require "
+            f"{required} but got {list(timeseries_df.columns)}"
+        )
+
+    plot_types = np.asarray(plot_types)
+    plot_titles = np.asarray(plot_titles)
+    plot_normalizations = np.asarray(plot_normalizations)
+    present = np.array(
+        [
+            any(pt in col for col in timeseries_df.columns)
+            for pt in plot_types
+        ]
     )
-    fig, axes = plt.subplots(
-        len(regions),
-        len(metrics),
-        figsize=(4 * len(metrics), 2.5 * len(regions)),
-        squeeze=False,
+    plot_types = plot_types[present]
+    plot_titles = plot_titles[present]
+    plot_normalizations = plot_normalizations[present]
+    if len(plot_types) == 0:
+        raise VisualizationError(
+            "none of the requested plot_types appear in timeseries_df"
+        )
+
+    df = _cleanup_and_normalize_timeseries(
+        timeseries_df.copy(), plot_types, plot_normalizations, pop_sizes
     )
-    for i, region in enumerate(regions):
-        for j, metric in enumerate(metrics):
-            ax = axes[i][j]
-            data = timeseries_by_region[region].get(metric)
-            if data is None:
-                ax.axis("off")
-                continue
-            arr = np.asarray(data)
-            if arr.ndim == 1:
-                ax.plot(arr, color=median_color)
-            else:
-                for row in arr:
-                    ax.plot(row, color=median_color, alpha=particle_alpha, lw=0.5)
-                ax.plot(np.median(arr, axis=0), color="k", lw=1.5)
-            if i == 0:
-                ax.set_title(metric)
-            if j == 0:
-                ax.set_ylabel(region)
+    regions = list(df["region"].unique())
+    with plt.style.context(style):
+        fig, axes = plt.subplots(
+            nrows=len(plot_types),
+            ncols=len(regions),
+            sharex=True,
+            sharey="row",
+            squeeze=False,
+            figsize=(6 * len(regions), 3 * len(plot_types)),
+        )
+    dates = pd.to_datetime(df["date"])
+    for col_i, region in enumerate(regions):
+        rsel = df["region"] == region
+        for row_i, (title, ptype) in enumerate(zip(plot_titles, plot_types)):
+            ax = axes[row_i][col_i]
+            metric_cols = [c for c in df.columns if ptype in c]
+            for mcol in metric_cols:
+                # short legend labels: strip the shared plot_type prefix
+                # when a row plots several columns
+                label = (
+                    mcol.replace(ptype, "")
+                    if len(metric_cols) > 1
+                    else mcol
+                )
+                first = True
+                for _, particle_df in df[rsel].groupby("chain_particle"):
+                    ax.plot(
+                        pd.to_datetime(particle_df["date"]),
+                        particle_df[mcol],
+                        alpha=0.3,
+                        lw=0.25,
+                    )
+                    first = False
+                med = (
+                    df[rsel]
+                    .groupby("date")[mcol]
+                    .median()
+                )
+                ax.plot(
+                    pd.to_datetime(med.index),
+                    med.values,
+                    lw=2,
+                    label=label,
+                )
+            ax.set_title(f"{region}: {title}" if row_i == 0 else title)
+            if len(metric_cols) > 1:
+                ax.legend(fontsize=6)
+    _ = dates
     fig.tight_layout()
     return fig
 
 
 def plot_checkpoint_inference_correlation_pairs(
-    posteriors: Dict[str, np.ndarray],
+    posteriors_in: Dict[str, Any],
     max_samples_calculated: int = 100,
+    matplotlib_style: Union[List[str], str, None] = None,
 ):
-    """Pairwise posterior scatter + correlation grid (flattens plated sites)."""
+    """Pairwise posterior grid: scatter+regression (lower), correlation
+    annotation sized/colored by magnitude (upper), histogram+kde (diagonal).
+
+    ``posteriors_in`` values are (num_chains, num_samples[, *plate]); plated
+    sites are flattened to ``name_i`` entries and ``timestep`` sites dropped
+    (reference: src/dynode/utils/vis_utils.py:258-387). Set
+    ``max_samples_calculated=-1`` to disable the per-chain subsample cap.
+    """
     plt = _plt()
-    flat = flatten_list_parameters(
-        {k: np.asarray(v) for k, v in posteriors.items()}
+    from matplotlib.colors import LinearSegmentedColormap
+
+    posteriors = flatten_list_parameters(
+        {k: np.asarray(v) for k, v in posteriors_in.items()}
     )
-    flat = drop_keys_with_substring(flat, "timestep")
-    names = list(flat)
-    cols = [np.asarray(v).reshape(-1)[:max_samples_calculated] for v in flat.values()]
-    common = min(len(c) for c in cols)
-    cols = [c[:common] for c in cols]
+    posteriors = drop_keys_with_substring(posteriors, "timestep")
+    names = list(posteriors)
+    if not names:
+        raise VisualizationError("no posterior sites to correlate")
+    num_samples = posteriors[names[0]].shape[1]
+    if max_samples_calculated != -1 and num_samples > max_samples_calculated:
+        pick = np.random.choice(
+            num_samples, size=max_samples_calculated, replace=False
+        )
+        posteriors = {k: m[:, pick] for k, m in posteriors.items()}
+    cols = {k: np.asarray(m).flatten() for k, m in posteriors.items()}
     n = len(names)
-    fig, axes = plt.subplots(n, n, figsize=(2.2 * n, 2.2 * n), squeeze=False)
+    label_size = max(2, min(10, 200 / n))
+    mat = np.stack([cols[k] for k in names])
+    corr = np.atleast_2d(np.corrcoef(mat))  # 0-d for a single site
+    cmap = LinearSegmentedColormap.from_list("", ["red", "grey", "blue"])
+
+    style = matplotlib_style or _DEFAULT_STYLE
+    with plt.style.context(style):
+        fig, axes = plt.subplots(
+            n, n, figsize=(2.2 * n, 2.2 * n), squeeze=False
+        )
     for i in range(n):
         for j in range(n):
             ax = axes[i][j]
+            r = corr[i, j]
+            color = cmap((r + 1) / 2)
             if i == j:
-                ax.hist(cols[i], bins=20, color="C0")
+                ax.hist(cols[names[i]], bins=20, density=True)
             elif i > j:
-                ax.scatter(cols[j], cols[i], s=4, alpha=0.5)
+                x, y = cols[names[j]], cols[names[i]]
+                ax.scatter(x, y, s=0.5, alpha=0.2)
+                slope, intercept = np.polyfit(x, y, 1)
+                xs = np.linspace(x.min(), x.max(), 16)
+                ax.plot(xs, slope * xs + intercept, color=color, lw=1)
             else:
-                corr = np.corrcoef(cols[j], cols[i])[0, 1]
-                ax.text(0.5, 0.5, f"{corr:.2f}", ha="center", va="center",
-                        fontsize=12)
-                ax.set_xticks([])
-                ax.set_yticks([])
+                ax.annotate(
+                    f"{r:.2f}",
+                    xy=(0.5, 0.5),
+                    xycoords="axes fraction",
+                    ha="center",
+                    color=color,
+                    size=label_size * abs(r) + label_size,
+                )
+                ax.set_axis_off()
             if i == n - 1:
-                ax.set_xlabel(names[j], fontsize=7)
+                ax.set_xlabel(names[j], size=label_size, rotation=90)
             if j == 0:
-                ax.set_ylabel(names[i], fontsize=7)
-    fig.tight_layout()
+                ax.set_ylabel(names[i], size=label_size, rotation=0)
+            ax.tick_params(labelsize=label_size)
+            if i < n - 1:
+                ax.set_xticklabels([])
+            if j > 0:
+                ax.set_yticklabels([])
+    fig.tight_layout(pad=0.1)
     return fig
 
 
 def plot_mcmc_chains(
-    samples: Dict[str, np.ndarray],
-    line_alpha: float = 0.8,
+    samples_in: Dict[str, Any],
+    matplotlib_style: Union[List[str], str, None] = None,
 ):
-    """Trace plots: one panel per (flattened) site, one line per chain.
+    """Trace plots: a square-ish grid, one panel per (flattened) site, one
+    line per chain (reference: src/dynode/utils/vis_utils.py:390-455).
 
-    ``samples`` values are (chains, draws, *plate).
+    ``samples_in`` values are (num_chains, num_samples[, *plate]).
     """
     plt = _plt()
-    flat = flatten_list_parameters({k: np.asarray(v) for k, v in samples.items()})
-    n = len(flat)
-    ncols = min(3, max(n, 1))
-    nrows = -(-n // ncols)
-    fig, axes = plt.subplots(
-        nrows, ncols, figsize=(4.5 * ncols, 2.2 * nrows), squeeze=False
+    samples = flatten_list_parameters(
+        {k: np.asarray(v) for k, v in samples_in.items()}
     )
-    for ax, (name, arr) in zip(axes.ravel(), flat.items()):
-        arr = np.atleast_2d(np.asarray(arr))
-        for c, chain in enumerate(arr):
-            ax.plot(chain, alpha=line_alpha, lw=0.7, label=f"chain {c}")
+    samples = drop_keys_with_substring(samples, "timestep")
+    names = list(samples)
+    if not names:
+        raise VisualizationError("no sample sites to plot")
+    num_params = len(names)
+    nrows, ncols = _square_grid(num_params)
+    style = matplotlib_style or _DEFAULT_STYLE
+    with plt.style.context(style):
+        fig, axes = plt.subplots(
+            nrows, ncols, figsize=(3 * ncols, 3 * nrows), squeeze=False
+        )
+    flat_axes = axes.flatten()
+    for i, name in enumerate(names):
+        ax = flat_axes[i]
+        arr = np.atleast_2d(samples[name])
+        for c in range(arr.shape[0]):
+            ax.plot(arr[c], lw=0.7, label=f"chain {c}")
         ax.set_title(name, fontsize=8)
-    for ax in axes.ravel()[n:]:
+        if i < num_params - ncols:
+            ax.set_xticklabels([])
+    for ax in flat_axes[num_params:]:
         ax.axis("off")
+    handles, labels = flat_axes[num_params - 1].get_legend_handles_labels()
+    fig.legend(handles, labels, loc="upper center", ncol=4, fontsize=6)
     fig.tight_layout()
     return fig
 
 
 def _sample_prior_distributions(priors: Dict, num_samples: int):
-    """Draw ``num_samples`` from every Distribution leaf in a params dict."""
+    """Draw ``num_samples`` from every Distribution leaf in a params dict.
+
+    Key naming follows the sampling convention: distributions nested in
+    lists/arrays get ``_i`` index suffixes (reference:
+    src/dynode/utils/vis_utils.py:458-504).
+    """
     import jax
 
     from ..dist import Distribution
@@ -146,8 +316,8 @@ def _sample_prior_distributions(priors: Dict, num_samples: int):
         key, sub = jax.random.split(key)
         target = priors[where["sample_name"]]
         if where["sample_idx"] is not None:
-            arr = np.array(target, dtype=object)
-            target = arr[where["sample_idx"]]
+            for i in where["sample_idx"]:
+                target = target[i]
         assert isinstance(target, Distribution)
         out[site] = np.asarray(target.sample(sub, (num_samples,)))
     return out
@@ -155,63 +325,100 @@ def _sample_prior_distributions(priors: Dict, num_samples: int):
 
 def plot_prior_distributions(
     priors: Dict,
+    matplotlib_style: Union[List[str], str, None] = None,
     num_samples: int = 5000,
     hist_kwargs: Optional[dict] = None,
+    median_line_kwargs: Optional[dict] = None,
 ):
-    """Histograms of sampled prior distributions found in a params dict."""
+    """Histograms (with median line) of every Distribution found in
+    ``priors`` (reference: src/dynode/utils/vis_utils.py:507-579)."""
     plt = _plt()
     sampled = _sample_prior_distributions(priors, num_samples)
-    n = max(len(sampled), 1)
-    ncols = min(3, n)
-    nrows = -(-n // ncols)
-    fig, axes = plt.subplots(
-        nrows, ncols, figsize=(4 * ncols, 2.5 * nrows), squeeze=False
-    )
-    for ax, (name, draws) in zip(axes.ravel(), sampled.items()):
-        ax.hist(draws, bins=40, density=True, **(hist_kwargs or {}))
+    names = list(sampled)
+    if not names:
+        raise VisualizationError(
+            "Attempted to visualize a config without any distributions"
+        )
+    hist_kwargs = hist_kwargs or {"bins": 50, "density": True}
+    median_line_kwargs = median_line_kwargs or {
+        "linestyle": "dotted",
+        "linewidth": 3,
+        "label": "prior median",
+    }
+    nrows, ncols = _square_grid(len(names))
+    style = matplotlib_style or _DEFAULT_STYLE
+    with plt.style.context(style):
+        fig, axes = plt.subplots(
+            nrows, ncols, figsize=(3 * ncols, 3 * nrows), squeeze=False
+        )
+    flat_axes = axes.flatten()
+    for i, name in enumerate(names):
+        ax = flat_axes[i]
+        draws = sampled[name]
         ax.set_title(name, fontsize=8)
-    for ax in axes.ravel()[len(sampled):]:
+        ax.hist(draws, **hist_kwargs)
+        ax.axvline(float(np.median(draws)), **median_line_kwargs)
+    for ax in flat_axes[len(names):]:
         ax.axis("off")
+    handles, labels = flat_axes[len(names) - 1].get_legend_handles_labels()
+    fig.legend(handles, labels, loc="upper right", fontsize=6)
+    fig.suptitle(f"Prior Distributions Visualized, n={num_samples}")
     fig.tight_layout()
     return fig
 
 
 def plot_violin_plots(
-    priors: Optional[Dict[str, np.ndarray]] = None,
-    posteriors: Optional[Dict[str, np.ndarray]] = None,
+    priors: Optional[Dict[str, Any]] = None,
+    posteriors: Optional[Dict[str, Any]] = None,
+    matplotlib_style: Union[List[str], str, None] = None,
 ):
-    """Side-by-side prior vs posterior violins per site."""
+    """Side-by-side prior vs posterior violins per site; parameters sharing
+    a first word share a color (reference:
+    src/dynode/utils/vis_utils.py:582-699)."""
     plt = _plt()
-    priors = {k: np.asarray(v).reshape(-1) for k, v in (priors or {}).items()}
+    if priors is None and posteriors is None:
+        raise VisualizationError(
+            "must provide either a dictionary of priors or posteriors"
+        )
+    priors = {
+        k: np.asarray(v).reshape(-1) for k, v in (priors or {}).items()
+    }
     posteriors = {
         k: np.asarray(v).reshape(-1) for k, v in (posteriors or {}).items()
     }
-    names = sorted(set(priors) | set(posteriors))
-    n = max(len(names), 1)
-    ncols = min(3, n)
-    nrows = -(-n // ncols)
-    fig, axes = plt.subplots(
-        nrows, ncols, figsize=(4 * ncols, 2.8 * nrows), squeeze=False
-    )
-    for ax, name in zip(axes.ravel(), names):
+    names = list(dict.fromkeys(list(priors) + list(posteriors)))
+    nrows, ncols = _square_grid(len(names))
+    style = matplotlib_style or _DEFAULT_STYLE
+    with plt.style.context(style):
+        fig, axes = plt.subplots(
+            nrows, ncols, figsize=(3 * ncols, 3 * nrows), squeeze=False
+        )
+    flat_axes = axes.flatten()
+    first_words = {n.split("_")[0] for n in names}
+    cmap = _plt().get_cmap("Set2")
+    color_of = {w: cmap(i % 8) for i, w in enumerate(sorted(first_words))}
+    for i, name in enumerate(names):
+        ax = flat_axes[i]
         data, labels = [], []
-        if name in priors:
-            data.append(priors[name])
-            labels.append("prior")
-        if name in posteriors:
-            data.append(posteriors[name])
-            labels.append("posterior")
-        ax.violinplot(data, showmedians=True)
+        for label, src in (("prior", priors), ("posterior", posteriors)):
+            if name in src:
+                data.append(src[name])
+                labels.append(label)
+        parts = ax.violinplot(data, showmedians=True)
+        for body in parts["bodies"]:
+            body.set_facecolor(color_of[name.split("_")[0]])
         ax.set_xticks(range(1, len(labels) + 1))
         ax.set_xticklabels(labels)
         ax.set_title(name, fontsize=8)
-    for ax in axes.ravel()[len(names):]:
+    for ax in flat_axes[len(names):]:
         ax.axis("off")
+    fig.suptitle("Violin Plot of Parameters")
     fig.tight_layout()
     return fig
 
 
 __all__ = [
+    "VisualizationError",
     "plot_model_overview_subplot_matplotlib",
     "plot_checkpoint_inference_correlation_pairs",
     "plot_mcmc_chains",
