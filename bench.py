@@ -61,6 +61,19 @@ def _draws(n, seed=0):
     return jax.random.uniform(key, (n,), minval=0.8, maxval=1.25)
 
 
+
+def _sync(out):
+    """Force execution AND completion: fetch a scalar reduction to host.
+
+    ``block_until_ready`` on the remote-tunnel TPU backend can return
+    before the computation has actually run (measured: 3 ms for a solve
+    whose data fetch takes 180 ms), so every timed region must end with a
+    host fetch of a value derived from the full result.
+    """
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(jnp.sum(jnp.stack([jnp.sum(x) for x in leaves if x.size])))
+
+
 def bench_pallas(base, y0, n, repeats=3):
     def run(seed):
         # fresh parameter draws per repeat: guards against any result
@@ -71,11 +84,11 @@ def bench_pallas(base, y0, n, repeats=3):
             base.contact_matrix, batch=n, duration=DURATION, dt=DT,
         )
 
-    jax.block_until_ready(run(0))  # compile
+    _sync(run(0))  # compile
     best = float("inf")
     for rep in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(rep + 1))
+        _sync(run(rep + 1))
         best = min(best, time.perf_counter() - t0)
     return n / best
 
@@ -96,11 +109,11 @@ def bench_lane_major_xla(base, y0, n, repeats=3):
         )
         return sol.ys[4]
 
-    jax.block_until_ready(run(0))
+    _sync(run(0))
     best = float("inf")
     for rep in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(rep + 1))
+        _sync(run(rep + 1))
         best = min(best, time.perf_counter() - t0)
     return n / best
 
@@ -121,7 +134,7 @@ def bench_xla_adaptive(cfg, base, y0, n, repeats=2):
     for rep in range(repeats):
         draws = _draws(n, rep + 1)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(draws))
+        _sync(fn(draws))
         best = min(best, time.perf_counter() - t0)
     return n / best
 

@@ -66,6 +66,52 @@ def build_model():
     return model, forward
 
 
+def build_lane_major_potential(obs):
+    """Chain-batched potential with the chain axis lane-major (batch-LAST)
+    through the ODE solve -- the NUTS(batched_potential_fn=) fast path.
+
+    Identical posterior to build_model()'s generic potential: same priors,
+    same transforms/ldj, same Poisson likelihood (centered with the
+    saturated log-likelihood, a constant shift).
+    """
+    from dynode_tpu.dist.transforms import biject_to
+    from dynode_tpu.models.multistrain import (
+        multistrain_ensemble_state,
+        multistrain_ode_ensemble,
+    )
+
+    cfg = multistrain_config(
+        solver_params=SolverParams(constant_step_size=0.5)
+    )
+    base = multistrain_odeparams(cfg)
+    y0 = multistrain_initial_state(cfg)
+    sp = cfg.parameters.solver_params
+    prior = dist.TruncatedNormal(
+        loc=jnp.ones(3), scale=0.3 * jnp.ones(3), low=0.5, high=2.0
+    )
+    t = biject_to(prior.support)
+    obs_f = jnp.asarray(obs, jnp.result_type(float))
+    center = dist.Poisson(jnp.maximum(obs_f, 1e-6)).log_prob(obs_f)
+
+    def batched_pot(zb):  # (C, 3) unconstrained -> (C,) potentials
+        C = zb.shape[0]
+        scales = t(zb)
+        lp = prior.log_prob(scales).sum(-1)
+        lp += t.log_abs_det_jacobian(zb, scales).sum(-1)
+        pb = base.replace(beta=base.beta[:, None] * scales.T)  # (K, C)
+        y0b = multistrain_ensemble_state(y0, C)
+        sol = simulate(
+            multistrain_ode_ensemble, DURATION, y0b, pb, sp,
+            sub_save_indices=(4,),
+        )
+        c = jnp.moveaxis(sol.ys[4], -1, 0)  # (C, T, A, K)
+        inc = jnp.maximum(jnp.diff(c, axis=1), 1e-6)
+        obs_lp = dist.Poisson(inc).log_prob(obs_f[None]) - center[None]
+        return -(lp + obs_lp.sum(axis=(1, 2, 3)))
+
+    return batched_pot
+
+
 def bench_4chain_vs_cpu(model, obs, num_warmup=100, num_samples=100):
     """BASELINE.md north star: 4-chain NUTS wall-clock, TPU vs CPU, SAME
     program (multi-strain SEIRS, constant-step potential, identical draw

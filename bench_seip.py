@@ -38,27 +38,30 @@ def main():
     base = seip_odeparams(cfg)
     y0 = seip_ensemble_state(seip_initial_state(cfg), ENSEMBLE)
 
-    key = jax.random.PRNGKey(0)
-    scales = jax.random.uniform(key, (ENSEMBLE,), minval=0.85, maxval=1.2)
-    batch = seip_ensemble_params(base, scales)
-
-    def run():
+    def run(seed):
+        # fresh draws per repeat; timing must END WITH A HOST FETCH -- on
+        # the remote-tunnel backend block_until_ready can return before
+        # the computation has executed (bench.py `_sync` note)
+        scl = jax.random.uniform(
+            jax.random.PRNGKey(seed), (ENSEMBLE,), minval=0.85, maxval=1.2
+        )
         sol = simulate(
-            seip_ode_ensemble, DURATION, y0, batch,
+            seip_ode_ensemble, DURATION, y0, seip_ensemble_params(base, scl),
             cfg.parameters.solver_params,
             sub_save_indices=(3,),  # only materialize cumulative incidence
         )
         return sol.ys[3], sol.result
 
     t0 = time.perf_counter()
-    out = run()
-    jax.block_until_ready(out)
+    out = run(0)
+    float(jnp.sum(out[0]))
     compile_s = time.perf_counter() - t0
     n_fail = int(jnp.sum(out[1] != 0))
     best = float("inf")
-    for _ in range(2):
+    for rep in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        out = run(rep + 1)
+        float(jnp.sum(out[0]) + jnp.sum(out[1]))
         best = min(best, time.perf_counter() - t0)
     tps = ENSEMBLE / best
     print(

@@ -1,10 +1,11 @@
-"""Self-contained JAX-native probability distributions.
+"""JAX-native probability distributions (no numpyro dependency).
 
 The reference delegates distributions to numpyro
 (reference: src/dynode/config/strains.py:8, infer/sample.py:11). DynODE-TPU
-ships its own minimal, fully jittable distribution library so the whole
-framework is standalone and every log-density/sampling path is a pure JAX
-function that fuses into the surrounding XLA program.
+ships its own minimal, fully jittable distribution library: every
+log-density/sampling path is a pure JAX function that fuses into the
+surrounding XLA program. (The SVI driver separately uses optax for its
+optimizers -- the inference layer's only extra dependency.)
 """
 
 from . import constraints, transforms

@@ -48,6 +48,37 @@ from .util import (
 )
 
 
+def _as_custom_vmap_potential(batched_pot):
+    """Per-chain (pe, grad) view of a natively chain-batched potential.
+
+    The NUTS transition is written per-chain and vmapped over the bank;
+    a plain vmap would batch the potential's *internals* with the chain
+    axis leading (tiny model tensors -> wasted TPU vector lanes). This
+    wrapper's custom_vmap rule intercepts every batched call and hands the
+    full (chains, D) block to ``batched_pot`` instead, which is free to
+    transpose to lane-major internally. One jax.vjp shares the forward
+    pass between values and per-chain gradients (chains are independent,
+    so the pullback of ones gives each chain its own gradient).
+    """
+    from jax.custom_batching import custom_vmap
+
+    def batched_pot_and_grad(zb):
+        pe, vjp = jax.vjp(batched_pot, zb)
+        (g,) = vjp(jnp.ones_like(pe))
+        return pe, g
+
+    @custom_vmap
+    def pot_and_grad(z):
+        pe, g = batched_pot_and_grad(z[None])
+        return pe[0], g[0]
+
+    @pot_and_grad.def_vmap
+    def _rule(axis_size, in_batched, zb):  # noqa: ARG001
+        return batched_pot_and_grad(zb), (True, True)
+
+    return pot_and_grad
+
+
 class NUTS:
     """No-U-Turn sampler kernel configuration for a model callable."""
 
@@ -63,6 +94,7 @@ class NUTS:
         adapt_step_size: bool = True,
         adapt_mass_matrix: bool = True,
         center_potential: bool = True,
+        batched_potential_fn: Optional[Callable] = None,
         **_ignored,
     ):
         self.model = model
@@ -73,6 +105,20 @@ class NUTS:
         self.step_size = step_size
         self.adapt_step_size = adapt_step_size
         self.adapt_mass_matrix = adapt_mass_matrix
+        #: optional natively chain-batched potential: ``fn(z_batch) -> pe``
+        #: maps a (chains, D) block of UNCONSTRAINED flat latents to
+        #: (chains,) potential energies, and must implement exactly the
+        #: semantics of the model-derived potential (negative log-joint
+        #: including jacobian corrections; centering is its own business).
+        #: NUTS only ever *calls* the potential, so the vectorized chain
+        #: bank routes every evaluation through this function via a
+        #: custom_vmap rule -- letting the user lay the chain axis out
+        #: lane-major (batch-LAST) inside an ODE solve for the full
+        #: ensemble-layout speedup (see simulation.ensemble_rhs). The
+        #: ``model`` is still used for tracing/site naming/transforms/inits;
+        #: equivalence vs the generic path is asserted in
+        #: tests/test_infer/test_batched_potential.py.
+        self.batched_potential_fn = batched_potential_fn
         #: subtract fixed per-datapoint reference log-probs from observed
         #: sites before summing: shifts the potential by a constant (the
         #: posterior is unchanged) but keeps float32 energy differences free
@@ -96,6 +142,7 @@ class MCMC:
         mesh=None,
         chain_axis: str = "chain",
         steps_per_call: Optional[int] = None,
+        rescue_stuck_chains: bool = True,
         **_ignored,
     ):
         self.kernel = kernel
@@ -110,6 +157,11 @@ class MCMC:
         #: many transitions each (bounds single-program on-chip runtime --
         #: long monolithic programs can trip TPU watchdogs)
         self.steps_per_call = steps_per_call
+        #: re-seat chains that exit warmup with collapsed step sizes or
+        #: non-finite potentials (chunked execution; see
+        #: :meth:`_rescue_stuck_chains`)
+        self.rescue_stuck_chains = rescue_stuck_chains
+        self._n_rescued = 0
         self._samples: Optional[Dict[str, jax.Array]] = None
         self._extra_fields: Optional[Dict[str, jax.Array]] = None
         self._transforms = None
@@ -310,6 +362,10 @@ class MCMC:
                 (self.num_chains,), self.kernel.step_size, dtype=dtype
             )
 
+        state, inv_mass, chol, eps_final = self._rescue_stuck_chains(
+            state, inv_mass, chol, eps_final
+        )
+
         # fixed-size sampling chunks (single compiled program); the last
         # chunk may overshoot num_samples -- extra valid draws are sliced
         # off below (cheaper than compiling a second remainder program)
@@ -326,6 +382,64 @@ class MCMC:
         )
         collected["step_size"] = eps_final
         return state, (inv_mass, chol, eps_final), collected
+
+    def _rescue_stuck_chains(self, state, inv_mass, chol, eps_final):
+        """Re-seat born-dead chains on healthy tuned parameters.
+
+        At very wide chain banks (4096+) a handful of chains can exit
+        warmup with a collapsed step size or a non-finite potential --
+        every warmup-robustness fix lowers the rate, but the tail risk
+        scales with chain count, and ONE frozen chain craters min-ESS via
+        the between-chain variance term. Since every chain targets the
+        same posterior, re-seating a bad chain on the cross-chain median
+        step size, a healthy donor's mass matrix, and the donor's position
+        is statistically safe: any (eps, mass) pair gives a valid NUTS
+        kernel, and the position is just a fresh init drawn from a
+        converged chain. Runs on the host between the warmup and sampling
+        programs (chunked execution only); disable with
+        ``MCMC(rescue_stuck_chains=False)``.
+        """
+        if not self.rescue_stuck_chains or self.num_chains < 4:
+            return state, inv_mass, chol, eps_final
+        eps = np.asarray(jax.device_get(eps_final))
+        pot = np.asarray(jax.device_get(state.potential))
+        log_eps = np.log(np.maximum(eps, 1e-300))
+        med = np.median(log_eps)
+        bad = (log_eps < med - np.log(50.0)) | ~np.isfinite(pot)
+        if not bad.any():
+            return state, inv_mass, chol, eps_final
+        healthy = np.where(~bad)[0]
+        if healthy.size == 0:
+            return state, inv_mass, chol, eps_final
+        n_bad = int(bad.sum())
+        # donor per bad chain: cycle through healthy chains deterministically
+        donors = healthy[np.arange(n_bad) % healthy.size]
+        bad_idx = jnp.asarray(np.where(bad)[0])
+        donor_idx = jnp.asarray(donors)
+
+        def reseat(arr):
+            return arr.at[bad_idx].set(arr[donor_idx])
+
+        # keep each bad chain's own rng_key so re-seated chains decorrelate
+        # from their donors on the first transition
+        state = state._replace(
+            z=reseat(state.z),
+            potential=reseat(state.potential),
+            grad=reseat(state.grad),
+            energy=reseat(state.energy),
+        )
+        inv_mass = reseat(inv_mass)
+        chol = reseat(chol)
+        eps_final = eps_final.at[bad_idx].set(
+            jnp.asarray(np.exp(np.median(log_eps[healthy])), eps_final.dtype)
+        )
+        if self.progress_bar:
+            print(
+                f"[dynode_tpu.MCMC] re-seated {n_bad} stuck chain(s) on "
+                "healthy tuned parameters after warmup"
+            )
+        self._n_rescued = n_bad
+        return state, inv_mass, chol, eps_final
 
     # -- public API ----------------------------------------------------------
 
@@ -372,7 +486,12 @@ class MCMC:
         z0s = jnp.stack(z0s)
         D = z0s.shape[-1]
         dtype = z0s.dtype
-        pot_and_grad = jax.value_and_grad(flat_pot)
+        if self.kernel.batched_potential_fn is not None:
+            pot_and_grad = _as_custom_vmap_potential(
+                self.kernel.batched_potential_fn
+            )
+        else:
+            pot_and_grad = jax.value_and_grad(flat_pot)
 
         # reject non-finite starting points (extreme prior draws can sit in
         # regions where the solve blows up -> a chain born dead); redraw up

@@ -123,12 +123,15 @@ def seip_ode(t, state: CompartmentState, p: SEIPParams):
     wi = wib + (1.0 - wib) * fi  # (L, J, K, M)
     escape = 1.0 - wi  # susceptibility multiplier
 
-    # exposures[a,j,k,m,l] = lam[a,l] * escape[l,j,k,m] * S[a,j,k,m]
-    exposure_rate = jnp.einsum("al,ljkm->ajkml", lam, escape)
-    exposures = exposure_rate * S[..., None]  # (A,J,K,M,L)
-    new_exposed = exposures.sum(axis=3)  # (A,J,K,L)
-
-    dS = -exposures.sum(axis=-1)  # (A,J,K,M)
+    # exposures[a,j,k,m,l] = lam[a,l] * escape[l,j,k,m] * S[a,j,k,m];
+    # both reductions distribute over the elementwise product, so contract
+    # directly instead of materializing the rank-5 exposure tensor (the
+    # dominant HBM traffic of the RHS at ensemble width)
+    new_exposed = (
+        lam[:, None, None, :]
+        * jnp.einsum("ljkm,ajkm->ajkl", escape, S)
+    )  # (A,J,K,L): sum over m
+    dS = -jnp.einsum("al,ljkm->ajkm", lam, escape) * S  # sum over l
     dE = new_exposed - p.sigma * E
     dI = p.sigma * E - p.gamma * I
     dC = new_exposed
@@ -504,11 +507,14 @@ def seip_ode_ensemble(t, state: CompartmentState, p: SEIPParams):
     fi = (p.min_homologous * p.hist_mask)[:, :, None, None]
     escape = 1.0 - (wib + (1.0 - wib) * fi)  # (L, J, K, M)
 
-    exposure_rate = jnp.einsum("alb,ljkm->ajkmlb", lam, escape)
-    exposures = exposure_rate * S[:, :, :, :, None, :]  # (A,J,K,M,L,B)
-    new_exposed = exposures.sum(axis=3)  # (A,J,K,L,B)
-
-    dS = -exposures.sum(axis=4)  # (A,J,K,M,B)
+    # contract without materializing the rank-6 (A,J,K,M,L,B) exposure
+    # tensor -- see the scalar RHS note; at B=1024 that intermediate is 4x
+    # the state size in HBM traffic per stage
+    new_exposed = (
+        lam[:, None, None, :, :]
+        * jnp.einsum("ljkm,ajkmb->ajklb", escape, S)
+    )  # (A,J,K,L,B): sum over m
+    dS = -jnp.einsum("alb,ljkm->ajkmb", lam, escape) * S  # sum over l
     dE = new_exposed - p.sigma[:, None] * E
     dI = p.sigma[:, None] * E - p.gamma[:, None] * I
     dC = new_exposed
