@@ -118,6 +118,32 @@ def bench_lane_major_xla(base, y0, n, repeats=3):
     return n / best
 
 
+def bench_batch_leading_xla(base, y0, n, repeats=3):
+    """Batch-LEADING jit(vmap(simulate)) at constant step: the plain-JAX
+    layout. Honest fetch-based timing shows XLA handles this well at wide
+    ensembles (elementwise ops flatten across the batch), and it is
+    usually the fastest path for small-state models."""
+    sp = multistrain_config(
+        solver_params=SolverParams(constant_step_size=DT)
+    ).parameters.solver_params
+
+    def solve_one(r0_scale):
+        p = base.replace(beta=base.beta * r0_scale)
+        sol = simulate(
+            multistrain_ode, DURATION, y0, p, sp, sub_save_indices=(4,)
+        )
+        return sol.ys[4]
+
+    fn = jax.jit(jax.vmap(solve_one))
+    _sync(fn(_draws(n)))
+    best = float("inf")
+    for rep in range(repeats):
+        t0 = time.perf_counter()
+        _sync(fn(_draws(n, rep + 1)))
+        best = min(best, time.perf_counter() - t0)
+    return n / best
+
+
 def bench_xla_adaptive(cfg, base, y0, n, repeats=2):
     sp = cfg.parameters.solver_params
 
@@ -223,7 +249,16 @@ def main():
         )
     except Exception as e:
         print(f"[bench] lane-major XLA path failed: {e}", file=sys.stderr)
-    tps = max(pallas_tps, lane_tps)
+    lead_tps = 0.0
+    try:
+        lead_tps = bench_batch_leading_xla(base, y0, ENSEMBLE)
+        print(
+            f"[bench] batch-leading jit(vmap):  {lead_tps:,.0f} traj/s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] batch-leading XLA path failed: {e}", file=sys.stderr)
+    tps = max(pallas_tps, lane_tps, lead_tps)
 
     xla_tps = 0.0
     try:

@@ -1,11 +1,12 @@
 """Secondary benchmark: production SEIP ensemble throughput on TPU.
 
 The heavyweight tensor model (age x immune-history x vaccination x waning x
-strain; 640-element state) run as a *lane-major* ensemble -- the batch axis
-rides the TPU lane dimension (batch-leading vmap layouts put SEIP's tiny
-trailing dims on the vector tiles at <1% utilization). Constant-step
-direct-save execution: no step buffer, only the cumulative-incidence
-compartment is materialized.
+strain; 640-element state) run as a *lane-major* ensemble (batch axis
+LAST) -- the one workload where that layout measurably beats batch-leading
+vmap (~1.3x; the scatter updates and multi-axis contractions benefit).
+Constant-step direct-save execution: no step buffer, only the
+cumulative-incidence compartment is materialized. Timing ends with a host
+fetch (remote-tunnel block_until_ready is unreliable).
 """
 
 import json

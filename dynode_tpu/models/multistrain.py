@@ -162,10 +162,12 @@ def multistrain_initial_state(config: SimulationConfig) -> CompartmentState:
 
 
 # ---------------------------------------------------------------------------
-# lane-major ensemble variant: batch axis LAST (see models/seip.py for the
-# rationale -- tiny trailing dims waste the TPU's vector tiles; putting the
-# ensemble on the lane axis is the fast XLA layout when not using the
-# dedicated Pallas kernel in dynode_tpu.ops)
+# lane-major ensemble variant: batch axis LAST. NOTE (round-2 honest
+# timing): batch-leading jit(vmap) is FASTER for this small-state model --
+# XLA flattens its elementwise ops across the batch; the batch-last layout
+# only wins on scatter-heavy models (see simulation.ensemble_rhs). Kept as
+# the template for ensemble_rhs equivalence tests and the NUTS
+# batched-potential path.
 # ---------------------------------------------------------------------------
 
 

@@ -508,8 +508,7 @@ def seip_ode_ensemble(t, state: CompartmentState, p: SEIPParams):
     escape = 1.0 - (wib + (1.0 - wib) * fi)  # (L, J, K, M)
 
     # contract without materializing the rank-6 (A,J,K,M,L,B) exposure
-    # tensor -- see the scalar RHS note; at B=1024 that intermediate is 4x
-    # the state size in HBM traffic per stage
+    # tensor -- see the scalar RHS note
     new_exposed = (
         lam[:, None, None, :, :]
         * jnp.einsum("ljkm,ajkmb->ajklb", escape, S)

@@ -179,12 +179,15 @@ def ensemble_rhs(ode: ODE_Eqns, param_axes=0) -> ODE_Eqns:
     """Mechanically rewrite a scalar RHS to the lane-major (batch-last)
     ensemble layout.
 
-    TPU vector registers are (8 sublanes, 128 lanes) tiles; a compartment
-    shaped ``(2 ages, 3 strains)`` occupies one tile at <3% utilization, so
-    a batch-LEADING vmap wastes ~97% of every vector op. Putting the
-    ensemble axis LAST fills the lanes instead -- measured 142x on the SEIP
-    model (102 -> 14.5k traj/s, see models/seip.py). This wrapper gives any
-    user-authored RHS that layout without hand-porting:
+    TPU vector registers are (8 sublanes, 128 lanes) tiles; putting the
+    ensemble axis LAST maps the batch onto the lane dimension explicitly.
+    Honest fetch-synchronized measurements (v5e-1): ~1.3x over a
+    batch-leading vmap on the scatter-heavy 640-state SEIP model, but
+    SLOWER on the small multistrain model, where XLA flattens the
+    batch-leading layout's elementwise ops across the whole batch anyway
+    -- measure both layouts for your model (bench.py reports all paths).
+    This wrapper gives any user-authored RHS the batch-last layout
+    without hand-porting:
 
     ``ensemble_rhs(ode)(t, state_b, params_b)`` where every ``state_b``
     compartment carries a trailing ensemble axis (:func:`ensemble_state`)
@@ -253,11 +256,10 @@ def simulate_ensemble(
     - ``"batch_leading"`` (default): ``vmap(simulate)`` with the ensemble
       axis in front; every member gets its own adaptive dt chain.
       ``ys``/``stats``/``result`` gain a LEADING batch axis.
-    - ``"lane_major"``: the ensemble axis is placed LAST so it fills the
-      TPU's 128-wide vector lanes (see :func:`ensemble_rhs`; ~16x on the
-      multistrain model, 142x on SEIP vs batch_leading). One shared dt
-      chain; ``ys`` gain a TRAILING batch axis and ``result``/``stats``
-      are ensemble-wide scalars.
+    - ``"lane_major"``: the ensemble axis is placed LAST on the TPU's
+      128-wide vector lanes (see :func:`ensemble_rhs` for when this wins;
+      measure both). One shared dt chain; ``ys`` gain a TRAILING batch
+      axis and ``result``/``stats`` are ensemble-wide scalars.
     """
     if any(not isinstance(c, Array) for c in initial_state):
         raise TypeError(
