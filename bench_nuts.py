@@ -32,8 +32,14 @@ from dynode_tpu.models.multistrain import (
 DURATION = 100
 NUM_WARMUP = 200
 NUM_SAMPLES = 200
-NUM_CHAINS = 1024
-MAX_TREE_DEPTH = 6  # ample for a 3-parameter posterior; bounds lockstep cost
+NUM_CHAINS = 4096
+# In a lockstep vectorized bank every transition costs the MAX leapfrogs
+# across all chains, so the wide-bank optimum is SHORT trajectories x MANY
+# chains: depth 3 keeps minESS essentially unchanged on this posterior
+# (160k @ 1024 chains) while cutting wall 2.8x vs depth 6; depth 2
+# collapses ESS (too-short trajectories). Swept in round 2: depth 6 -> 961
+# ESS/s, 4 -> 1346, 3 -> 2636, 2 -> 471 (1024 chains, v5e-1).
+MAX_TREE_DEPTH = 3
 
 
 def build_model():
