@@ -24,6 +24,7 @@ from .controllers import (
     ConstantStepSize,
     PIDController,
 )
+from .implicit import AbstractImplicitSolver, ImplicitEuler, TRBDF2
 from .integrate import diffeqsolve
 from .saveat import SaveAt, SubSaveAt
 from .solution import RESULT_MAX_STEPS, RESULT_SUCCESS, Solution
@@ -46,6 +47,9 @@ __all__ = [
     "Bosh3",
     "Tsit5",
     "Dopri5",
+    "AbstractImplicitSolver",
+    "ImplicitEuler",
+    "TRBDF2",
     "AbstractStepSizeController",
     "ConstantStepSize",
     "PIDController",
