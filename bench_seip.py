@@ -1,24 +1,23 @@
 """Secondary benchmark: production SEIP ensemble throughput on TPU.
 
 The heavyweight tensor model (age x immune-history x vaccination x waning x
-strain; 640-element state) measured in BOTH ensemble layouts -- lane-major
-(batch-LAST; the scatter updates and multi-axis contractions benefit,
-~1.3x at B=256) and batch-leading jit(vmap) -- with the better one
-reported. Constant-step direct-save execution: only the
+strain; 640-element state) measured in three configurations -- lane-major
+(batch-LAST) with the scatter-free pad-based RHS (the default), the
+preserved ``.at[].add`` scatter form, and batch-leading jit(vmap) -- with
+the best reported. Constant-step direct-save execution: only the
 cumulative-incidence compartment is materialized. Timing ends with a host
 fetch (remote-tunnel block_until_ready is unreliable) and uses fresh
 draws per repeat.
 
-Roofline position (measured, v5e-1, B=1024): ~170ms per 200-day dt=0.5
-solve = 2800 RHS evals -> ~60us per ensemble RHS. The RHS must move the
-640*B f32 state (2.6 MB) in and out of HBM per evaluation plus
-intermediates of comparable size; at ~800 GB/s that floor is ~10-20us, so
-the XLA path sits within ~3-4x of the bandwidth bound -- the remaining
-gap is the scatter (.at[].add) copies and small-tensor bookkeeping. A
-whole-solve-in-VMEM Pallas kernel is the only way past that bound, but the
-multistrain experience (Pallas SLOWER than XLA batch-leading under honest
-timing) says the win is not guaranteed; the XLA path is kept as the
-production configuration.
+Roofline history (v5e-1, B=1024): the round-2 scatter-form RHS measured
+~5.5-5.8k traj/s in both layouts -- ~60us per ensemble RHS eval, 3-4x
+above the ~10-20us HBM floor for moving the 640*B f32 state. The gap WAS
+the scatter lowering: rewriting every ``.at[slice].add`` flow increment as
+a zero-padded full-shape add (seip_ode / seip_ode_ensemble) reaches
+13.3k traj/s lane-major and 15.1k batch-leading -- within ~1.5x of the
+bandwidth bound, no Pallas kernel required. The scatter form is kept and
+measured so a regression in XLA's scatter lowering (or in our pads) shows
+up here.
 """
 
 import json
@@ -81,6 +80,19 @@ def main():
         )
         return sol.ys[3]
 
+    def run_scatter(seed):
+        # original .at[].add slice-update form, kept to track XLA's scatter
+        # lowering cost (the pad-based default measured 2.4x faster)
+        from dynode_tpu.models.seip import seip_ode_ensemble_scatter
+
+        sol = simulate(
+            seip_ode_ensemble_scatter, DURATION, y0b,
+            seip_ensemble_params(base, draws(seed)),
+            cfg.parameters.solver_params,
+            sub_save_indices=(3,),
+        )
+        return sol.ys[3]
+
     def solve_one(scale):
         p = base.replace(beta=base.beta * scale)
         sol = simulate(
@@ -95,7 +107,11 @@ def main():
         return lead_fn(draws(seed))
 
     results = {}
-    for name, run in (("lane-major", run_lane), ("batch-leading", run_lead)):
+    for name, run in (
+        ("lane-major", run_lane),
+        ("lane-major-scatter", run_scatter),
+        ("batch-leading", run_lead),
+    ):
         try:
             best, compile_s = _time(run)
             results[name] = ENSEMBLE / best

@@ -35,6 +35,7 @@ from .discrete import (
 )
 from .distribution import (
     Delta,
+    Unit,
     Distribution,
     ExpandedDistribution,
     TransformedDistribution,
@@ -57,6 +58,7 @@ __all__ = [
     "Distribution",
     "TransformedDistribution",
     "Delta",
+    "Unit",
     "Normal",
     "LogNormal",
     "HalfNormal",

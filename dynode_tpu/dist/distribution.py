@@ -139,6 +139,32 @@ class TransformedDistribution(Distribution):
         return x
 
 
+class Unit(Distribution):
+    """Zero-size distribution carrying an arbitrary log-factor.
+
+    The vehicle for ``handlers.factor`` (numpyro Unit semantics):
+    ``sample`` returns an empty array and ``log_prob`` ignores the value
+    and returns ``log_factor``, so arbitrary terms join the joint density
+    through an ordinary observed sample site.
+    """
+
+    support = C.real
+
+    def __init__(self, log_factor):
+        self.log_factor = jnp.asarray(log_factor)
+        self._batch_shape = jnp.shape(self.log_factor)
+        self._event_shape = (0,)
+
+    def sample(self, key, sample_shape=()):
+        return jnp.empty(
+            tuple(sample_shape) + self.batch_shape + (0,),
+            dtype=self.log_factor.dtype,
+        )
+
+    def log_prob(self, value):
+        return self.log_factor
+
+
 class Delta(Distribution):
     """Point mass at ``value`` with an optional extra log-density term.
 

@@ -42,6 +42,7 @@ from .util import (
     init_to_median,
     init_to_sample,
     init_to_uniform,
+    init_to_value,
     log_density,
 )
 
@@ -82,6 +83,7 @@ __all__ = [
     "init_to_mean",
     "init_to_sample",
     "init_to_uniform",
+    "init_to_value",
     "log_density",
     "InferenceData",
     "from_dynode",

@@ -182,6 +182,18 @@ def sample(
     return _apply_stack(msg)["value"]
 
 
+def factor(name: str, log_factor):
+    """Add an arbitrary term to the joint log-density (numpyro.factor).
+
+    Implemented as an observed sample site over a :class:`~..dist.Unit`
+    distribution whose ``log_prob`` is the factor itself.
+    """
+    from ..dist.distribution import Unit
+
+    unit = Unit(log_factor)
+    sample(name, unit, obs=unit.sample(None))
+
+
 def deterministic(name: str, value):
     """Record a derived value as a named trace site (no density)."""
     if not _STACK:
@@ -221,6 +233,7 @@ __all__ = [
     "condition",
     "block",
     "sample",
+    "factor",
     "deterministic",
     "param",
 ]

@@ -192,6 +192,22 @@ def init_to_uniform(site: Dict[str, Any], rng_key, radius: float = 2.0):
     return t(u)
 
 
+def init_to_value(values: Dict[str, Any], fallback: Callable = init_to_median):
+    """Strategy factory: init named latents to given (constrained) values.
+
+    Sites absent from ``values`` fall back to ``fallback`` (numpyro's
+    init_to_value semantics). Pass the result as ``init_strategy=``.
+    """
+
+    def init(site: Dict[str, Any], rng_key):
+        name = site.get("name")
+        if name in values:
+            return jnp.asarray(values[name])
+        return fallback(site, rng_key)
+
+    return init
+
+
 def initialize_latents(
     tr,
     rng_key,
@@ -218,5 +234,6 @@ __all__ = [
     "init_to_sample",
     "init_to_mean",
     "init_to_uniform",
+    "init_to_value",
     "initialize_latents",
 ]

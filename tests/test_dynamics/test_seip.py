@@ -152,3 +152,48 @@ def test_lane_major_ensemble_matches_scalar_rhs():
     # members differ when their transmission scale differs
     c = np.asarray(solb.ys[3])
     assert c[-1, ..., 1].sum() != c[-1, ..., 2].sum()
+
+
+def test_pad_rhs_matches_scatter_reference():
+    """The pad-based default RHS forms (scalar + ensemble) are the same
+    vector field as the preserved .at[].add scatter references, including
+    the seasonal vaccination branch."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynode_tpu.models.seip import (
+        seip_ensemble_params,
+        seip_ensemble_state,
+        seip_ode_ensemble,
+        seip_ode_ensemble_scatter,
+        seip_ode_scatter,
+    )
+
+    for seasonal in (False, True):
+        cfg = seip_config(seasonal_vaccination=seasonal)
+        p = seip_odeparams(cfg)
+        y0 = seip_initial_state(cfg)
+        pb = seip_ensemble_params(p, jnp.array([1.0, 0.9, 1.1]))
+        y0b = seip_ensemble_state(y0, 3)
+        # randomize the state so every flow path carries signal
+        key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, len(y0b))
+        yr = tuple(
+            a * (1.0 + 0.3 * jax.random.uniform(k, a.shape))
+            + 5.0 * jax.random.uniform(k, a.shape)
+            for a, k in zip(y0b, keys)
+        )
+        y1 = tuple(a[..., 0] for a in yr)
+        for t in (0.0, 55.0, 100.0, 170.0):
+            da = seip_ode_ensemble(t, yr, pb)
+            db = seip_ode_ensemble_scatter(t, yr, pb)
+            for x, y in zip(da, db):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-9
+                )
+            ds = seip_ode(t, y1, p)
+            dr = seip_ode_scatter(t, y1, p)
+            for x, y in zip(ds, dr):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-9
+                )
