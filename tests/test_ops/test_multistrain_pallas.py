@@ -143,3 +143,45 @@ def test_lane_major_xla_ensemble_matches_scalar():
         np.testing.assert_allclose(
             np.asarray(a[..., 0]), np.asarray(b), rtol=1e-9, atol=1e-9
         )
+
+
+def test_2d_tile_kernel_matches_row_reference(setup):
+    """The 2-D whole-tile kernel variant (kept as a measured negative
+    result -- see the module comment) must still be the same arithmetic:
+    2-D scan reference vs row reference, and interpret-mode Pallas vs the
+    2-D reference."""
+    _, p, y0 = setup
+    saves2 = mp.ensemble_solve_tsit5_2d(
+        y0, p.beta, p.sigma, p.gamma, p.omega, p.contact_matrix,
+        batch=4, duration=50.0, dt=0.25,
+    )
+    got = mp.unpack_saves_2d(saves2)
+    saves1 = mp.ensemble_solve_reference(
+        y0, p.beta, p.sigma, p.gamma, p.omega, p.contact_matrix,
+        batch=4, duration=50.0, dt=0.25,
+    )
+    want = mp.unpack_saves(saves1)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-4
+        )
+
+    import unittest.mock as um
+
+    orig = pl.pallas_call
+    mp.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        with um.patch.object(mp.jax, "default_backend", lambda: "tpu"):
+            out = mp.ensemble_solve_tsit5_2d(
+                y0, p.beta, p.sigma, p.gamma, p.omega, p.contact_matrix,
+                batch=256, duration=10.0, dt=0.5, block_b=128,
+            )
+    finally:
+        mp.pl.pallas_call = orig
+    ref = mp.ensemble_solve_tsit5_2d(
+        y0, p.beta, p.sigma, p.gamma, p.omega, p.contact_matrix,
+        batch=256, duration=10.0, dt=0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-4
+    )
