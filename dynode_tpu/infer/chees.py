@@ -406,7 +406,13 @@ def make_chees_parts(kernel: ChEES, pot_and_grad, D: int, dtype):
         if kernel.trajectory_length is not None:
             t0 = jnp.asarray(kernel.trajectory_length, dtype=dtype)
         else:
-            t0 = eps0  # start at one leapfrog step (paper init)
+            # start at 8 leapfrogs rather than the paper's 1: Adam on log-T
+            # moves at most ~lr nats/iteration, so with a sharp posterior
+            # (tiny eps) and a short warmup the paper init cannot climb the
+            # several nats to the optimum in time (seen on the SEIP fit:
+            # T stuck ~0.5x optimal after 100 iterations). Overshooting is
+            # cheap to adapt away; undershooting wrecks mixing.
+            t0 = 8.0 * eps0
         return (
             state,
             da_init(eps0),
@@ -463,8 +469,14 @@ def make_chees_parts(kernel: ChEES, pot_and_grad, D: int, dtype):
                     )
                     # the metric changed: restart step-size averaging around
                     # the re-searched eps; trajectory length carries over
-                    # (it lives in integration-time units, rescaled below by
-                    # the new eps bounds)
+                    # UNCHANGED. (A "metric-aware" rescale of log T by the
+                    # step-size change was tried and measurably backfires:
+                    # the reference step size at refresh time is a transient
+                    # dual-averaging iterate, so the shift pumps T
+                    # multiplicatively at every window -- observed 15x
+                    # trajectory blow-up and a 5x ESS/s regression on the
+                    # multistrain bench. Adam re-converges T under the new
+                    # metric instead.)
                     return (
                         state._replace(rng_key=key),
                         da_init(eps_new),
