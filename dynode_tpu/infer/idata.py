@@ -59,6 +59,28 @@ class InferenceData:
             lines.append(f"  > {g}: {list(sites.keys())}")
         return "\n".join(lines)
 
+    def to_npz(self, path: str) -> None:
+        """Persist all groups to one ``.npz`` (arviz ``to_netcdf`` analog).
+
+        Keys are ``{group}/{site}``; dependency-free and loadable with
+        plain numpy or :meth:`from_npz`.
+        """
+        arrays = {}
+        for g in self.groups():
+            for site, arr in getattr(self, g).items():
+                arrays[f"{g}/{site}"] = np.asarray(arr)
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def from_npz(cls, path: str) -> "InferenceData":
+        """Inverse of :meth:`to_npz`."""
+        groups: Dict[str, Dict[str, np.ndarray]] = {}
+        with np.load(path) as data:
+            for key in data.files:
+                g, site = key.split("/", 1)
+                groups.setdefault(g, {})[site] = data[key]
+        return cls(**groups)
+
 
 def from_dynode(
     *,

@@ -100,6 +100,23 @@ def test_mcmc_to_arviz(mcmc_process):
     assert stats["mu"]["n_eff"] > 50
 
 
+def test_idata_npz_roundtrip(mcmc_process, tmp_path):
+    """to_npz/from_npz (the arviz to_netcdf analog) preserves every group."""
+    import numpy as np
+
+    idata = mcmc_process.to_arviz()
+    path = str(tmp_path / "fit.npz")
+    idata.to_npz(path)
+    back = type(idata).from_npz(path)
+    assert set(back.groups()) == set(idata.groups())
+    for g in idata.groups():
+        a, b = getattr(idata, g), getattr(back, g)
+        assert set(a) == set(b)
+        for site in a:
+            np.testing.assert_array_equal(np.asarray(a[site]), b[site])
+    assert back.summary()["mu"]["r_hat"] < 1.05
+
+
 def test_svi_sample_shapes_and_filtering(svi_process):
     samples = svi_process.get_samples()
     assert set(samples) == {"mu", "sigma"}  # _auto_latent filtered out
