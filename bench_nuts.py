@@ -141,7 +141,8 @@ def bench_chees(model, obs):
     ef = mcmc.get_extra_fields()
     div = int(np.asarray(ef["diverging"]).sum())
     mean_leapfrogs = float(np.asarray(ef["num_steps"]).mean())
-    stuck = int((arr.std(axis=1).min(axis=-1) < 1e-5).sum())
+    # stuck = ALL coordinates frozen (matches MCMC._collect)
+    stuck = int((arr.std(axis=1).max(axis=-1) < 1e-5).sum())
     post_mean = arr.reshape(-1, 3).mean(axis=0)
     inv_mass, chol, eps, traj = mcmc._tuned
     print(
@@ -215,7 +216,7 @@ def main():
     ef = mcmc.get_extra_fields()
     div = int(np.asarray(ef["diverging"]).sum())
     mean_leapfrogs = float(np.asarray(ef["num_steps"]).mean())
-    per_chain_std = arr.std(axis=1).min(axis=-1)  # (chains,)
+    per_chain_std = arr.std(axis=1).max(axis=-1)  # (chains,)
     stuck = int((per_chain_std < 1e-5).sum())
     post_mean = arr.reshape(-1, 3).mean(axis=0)
     print(
@@ -268,7 +269,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "multistrain_seirs_nuts_ess_per_sec",
+                "metric": "multistrain_seirs_mcmc_ess_per_sec",
                 "value": round(max(nuts_ess_s, chees_ess_s), 3),
                 "unit": "ESS/s",
                 "vs_baseline": round(speedup_4chain, 2),

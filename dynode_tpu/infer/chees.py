@@ -462,6 +462,18 @@ def make_chees_parts(kernel: ChEES, pot_and_grad, D: int, dtype):
                     state, da, ts, wf, inv_mass, chol = args
                     inv_new = welford_covariance(wf)
                     chol_new = chol_of_inv(inv_new)
+                    if not kernel.adapt_step_size:
+                        # the user pinned eps: keep it (re-searching here
+                        # would silently run the rest of warmup at a step
+                        # size they explicitly chose away from)
+                        return (
+                            state,
+                            da,
+                            ts,
+                            welford_init(D, kernel.dense_mass, dtype),
+                            inv_new,
+                            chol_new,
+                        )
                     key, k_eps = jax.random.split(state.rng_key)
                     eps_new = find_reasonable_step_size_bank(
                         pot_and_grad_bank, inv_new, chol_new,

@@ -60,26 +60,48 @@ class InferenceData:
         return "\n".join(lines)
 
     def to_npz(self, path: str) -> None:
-        """Persist all groups to one ``.npz`` (arviz ``to_netcdf`` analog).
+        """Persist all groups + attrs to one ``.npz`` (``to_netcdf`` analog).
 
-        Keys are ``{group}/{site}``; dependency-free and loadable with
-        plain numpy or :meth:`from_npz`.
+        Keys are ``{group}/{site}``; ``attrs`` is stored as JSON
+        (non-JSON-serializable values fall back to ``str``); present-but-
+        empty groups get a marker so the round-trip preserves
+        :meth:`groups` exactly. Dependency-free and loadable with plain
+        numpy or :meth:`from_npz`.
         """
+        import json
+
         arrays = {}
         for g in self.groups():
-            for site, arr in getattr(self, g).items():
+            sites = getattr(self, g)
+            if not sites:
+                arrays[f"{g}/__empty__"] = np.zeros(0)
+                continue
+            for site, arr in sites.items():
                 arrays[f"{g}/{site}"] = np.asarray(arr)
+        if self.attrs:
+            arrays["__attrs__"] = np.frombuffer(
+                json.dumps(self.attrs, default=str).encode(), dtype=np.uint8
+            )
         np.savez_compressed(path, **arrays)
 
     @classmethod
     def from_npz(cls, path: str) -> "InferenceData":
         """Inverse of :meth:`to_npz`."""
+        import json
+
         groups: Dict[str, Dict[str, np.ndarray]] = {}
+        attrs: Dict[str, Any] = {}
         with np.load(path) as data:
             for key in data.files:
+                if key == "__attrs__":
+                    attrs = json.loads(data[key].tobytes().decode())
+                    continue
                 g, site = key.split("/", 1)
+                if site == "__empty__":
+                    groups.setdefault(g, {})
+                    continue
                 groups.setdefault(g, {})[site] = data[key]
-        return cls(**groups)
+        return cls(attrs=attrs, **groups)
 
 
 def from_dynode(

@@ -329,6 +329,27 @@ class MCMC:
 
         return init_chain, warm_segment, sample_segment
 
+    def _padded_warmup_flags(self, n: int):
+        """(slow, window-end, active) warmup flags padded to whole chunks.
+
+        Padding with active=0 no-op steps makes every chunk the SAME
+        program (one compile); a remainder-sized final chunk would
+        recompile the entire sampler program (~minutes on the
+        remote-compile TPU tunnel, dominating small runs). Shared by the
+        per-chain (NUTS) and bank (ChEES) chunked runners.
+        """
+        in_slow, win_end = build_warmup_schedule(self.num_warmup)
+        flags = np.stack(
+            [in_slow, win_end, np.ones_like(in_slow)], axis=-1
+        )
+        n_chunks = -(-self.num_warmup // n) if self.num_warmup else 0
+        pad = n_chunks * n - self.num_warmup
+        if pad:
+            flags = np.concatenate(
+                [flags, np.zeros((pad, 3), dtype=flags.dtype)], axis=0
+            )
+        return flags, n_chunks
+
     def _run_chunked(self, pot_and_grad, D, dtype, z0s, chain_keys):
         n = int(self.steps_per_call)
         init_chain, warm_segment, sample_segment = self._parts(
@@ -336,19 +357,7 @@ class MCMC:
         )
         carry = jax.jit(jax.vmap(init_chain))(z0s, chain_keys)
 
-        # pad warmup to whole chunks with active=0 no-op steps: every chunk
-        # is then the SAME program (one compile); a remainder-sized final
-        # chunk would recompile the entire NUTS program (~minutes on the
-        # remote-compile TPU tunnel, dominating small runs)
-        in_slow, win_end = build_warmup_schedule(self.num_warmup)
-        active = np.ones_like(in_slow)
-        flags = np.stack([in_slow, win_end, active], axis=-1)
-        n_chunks = -(-self.num_warmup // n) if self.num_warmup else 0
-        pad = n_chunks * n - self.num_warmup
-        if pad:
-            flags = np.concatenate(
-                [flags, np.zeros((pad, 3), dtype=flags.dtype)], axis=0
-            )
+        flags, n_chunks = self._padded_warmup_flags(n)
         warm_jit = jax.jit(jax.vmap(warm_segment, in_axes=(0, None)))
         for start in range(0, n_chunks * n, n):
             chunk = jnp.asarray(flags[start : start + n])
@@ -457,11 +466,14 @@ class MCMC:
         init_bank, warm_segment, sample_segment = make_chees_parts(
             kern, pot_and_grad, D, dtype
         )
-        n = (
-            int(self.steps_per_call)
-            if self.steps_per_call
-            else max(self.num_warmup, self.num_samples, 1)
-        )
+        if self.steps_per_call:
+            n_warm = n_samp = int(self.steps_per_call)
+        else:
+            # monolithic mode: one chunk per phase, each sized exactly (a
+            # shared max() here would run (and discard) up to
+            # num_warmup - num_samples extra sampling transitions)
+            n_warm = max(self.num_warmup, 1)
+            n_samp = max(self.num_samples, 1)
 
         if warm_start is not None:
             state, (inv_mass, chol, eps, traj) = warm_start
@@ -474,35 +486,28 @@ class MCMC:
             state = state._replace(potential=pe, grad=grad, rng_key=key_run)
         else:
             carry = jax.jit(init_bank)(z0s, key_run)
-            in_slow, win_end = build_warmup_schedule(self.num_warmup)
-            flags = np.stack(
-                [in_slow, win_end, np.ones_like(in_slow)], axis=-1
-            )
-            n_chunks = -(-self.num_warmup // n) if self.num_warmup else 0
-            pad = n_chunks * n - self.num_warmup
-            if pad:
-                flags = np.concatenate(
-                    [flags, np.zeros((pad, 3), dtype=flags.dtype)], axis=0
-                )
+            flags, n_chunks = self._padded_warmup_flags(n_warm)
             warm_jit = jax.jit(warm_segment)
-            for start in range(0, n_chunks * n, n):
-                chunk = jnp.asarray(flags[start : start + n])
+            for start in range(0, n_chunks * n_warm, n_warm):
+                chunk = jnp.asarray(flags[start : start + n_warm])
                 carry = warm_jit(carry, chunk)
                 carry = jax.block_until_ready(carry)
             state, da, ts, wf, inv_mass, chol = carry
-            if kern.adapt_step_size:
-                eps = jnp.exp(da.log_eps_avg)
-            else:
-                eps = jnp.asarray(kern.step_size, dtype=dtype)
+            # exp(log_eps_avg) is correct whether or not step-size
+            # adaptation ran: da_init seeds the average with the fixed or
+            # searched eps, and with adapt_step_size=False it never moves
+            # (a direct jnp.asarray(kern.step_size) here crashed when the
+            # user relied on the automatic search with adaptation off)
+            eps = jnp.exp(da.log_eps_avg)
             if kern.trajectory_length is not None:
                 traj = jnp.asarray(kern.trajectory_length, dtype=dtype)
             else:
                 traj = jnp.maximum(jnp.exp(ts.log_t_avg), eps)
 
         sample_jit = jax.jit(sample_segment)
-        dummy = jnp.arange(n)
+        dummy = jnp.arange(n_samp)
         chunks = []
-        for _start in range(0, self.num_samples, n):
+        for _start in range(0, self.num_samples, n_samp):
             state, out = sample_jit(state, inv_mass, chol, eps, traj, dummy)
             state = jax.block_until_ready(state)
             chunks.append(out)

@@ -740,9 +740,6 @@ def seip_ode_ensemble(t, state: CompartmentState, p: SEIPParams):
     return (dS, dE, dI, dC)
 
 
-#: backwards-compatible alias from when the pad-based form was the variant
-seip_ode_ensemble_fused = seip_ode_ensemble
-
 __all__ = [
     "SEIPParams",
     "seip_ode",

@@ -105,6 +105,8 @@ def test_idata_npz_roundtrip(mcmc_process, tmp_path):
     import numpy as np
 
     idata = mcmc_process.to_arviz()
+    idata.attrs["model_name"] = "toy"
+    idata.attrs["seed"] = 7
     path = str(tmp_path / "fit.npz")
     idata.to_npz(path)
     back = type(idata).from_npz(path)
@@ -114,6 +116,7 @@ def test_idata_npz_roundtrip(mcmc_process, tmp_path):
         assert set(a) == set(b)
         for site in a:
             np.testing.assert_array_equal(np.asarray(a[site]), b[site])
+    assert back.attrs == {"model_name": "toy", "seed": 7}
     assert back.summary()["mu"]["r_hat"] < 1.05
 
 
