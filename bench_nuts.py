@@ -159,7 +159,10 @@ def bench_chees(model, obs):
 def bench_4chain_vs_cpu(model, obs, num_warmup=100, num_samples=100):
     """BASELINE.md north star: 4-chain NUTS wall-clock, TPU vs CPU, SAME
     program (multi-strain SEIRS, constant-step potential, identical draw
-    counts). Returns (tpu_wall, cpu_wall, speedup)."""
+    counts). Each backend is timed COLD (first run, compile included) and
+    WARM (second run, jit cache hit -- the steady-state cost of every
+    subsequent fit in a session). Returns ((tpu_cold, tpu_warm, ess),
+    (cpu_cold, cpu_warm, ess), warm_speedup)."""
 
     def run_once(seed):
         mcmc = MCMC(
@@ -180,11 +183,16 @@ def bench_4chain_vs_cpu(model, obs, num_warmup=100, num_samples=100):
         )
         return wall, ess
 
-    tpu_wall, tpu_ess = run_once(11)
+    def cold_warm(seed):
+        cold, ess = run_once(seed)
+        warm, _ = run_once(seed + 1)
+        return cold, warm, ess
+
+    tpu = cold_warm(11)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        cpu_wall, cpu_ess = run_once(11)
-    return (tpu_wall, tpu_ess), (cpu_wall, cpu_ess), cpu_wall / tpu_wall
+        cpu_res = cold_warm(11)
+    return tpu, cpu_res, cpu_res[1] / tpu[1]
 
 
 def main():
@@ -244,14 +252,15 @@ def main():
 
     speedup_4chain = 0.0
     try:
-        (tpu_w, tpu_e), (cpu_w, cpu_e), speedup_4chain = bench_4chain_vs_cpu(
-            model, obs
+        (tpu_c, tpu_w, tpu_e), (cpu_c, cpu_w, cpu_e), speedup_4chain = (
+            bench_4chain_vs_cpu(model, obs)
         )
         print(
             f"[bench_nuts] 4-chain NUTS (100+100, same program): TPU "
-            f"{tpu_w:.1f}s vs CPU {cpu_w:.1f}s -> {speedup_4chain:.1f}x "
-            f"wall (BASELINE.md target >=50x; 4 tiny chains are "
-            f"latency-bound -- the TPU's advantage is WIDTH)",
+            f"{tpu_c:.1f}s cold / {tpu_w:.1f}s warm vs CPU {cpu_c:.1f}s / "
+            f"{cpu_w:.1f}s -> {speedup_4chain:.1f}x warm wall "
+            f"(BASELINE.md target >=50x; 4 tiny chains are latency-bound "
+            f"-- the TPU's advantage is WIDTH)",
             file=sys.stderr,
         )
         # throughput ratio at each device's measured config (same per-draw
@@ -273,7 +282,7 @@ def main():
                 "value": round(max(nuts_ess_s, chees_ess_s), 3),
                 "unit": "ESS/s",
                 "vs_baseline": round(speedup_4chain, 2),
-                "vs_baseline_note": "4-chain same-program NUTS wall-clock CPU/TPU",
+                "vs_baseline_note": "4-chain same-program NUTS warm wall-clock CPU/TPU",
                 "nuts_ess_per_sec": round(nuts_ess_s, 3),
                 "chees_ess_per_sec": round(chees_ess_s, 3),
             }

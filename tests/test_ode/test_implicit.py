@@ -188,3 +188,70 @@ def test_implicit_through_public_simulate():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
         )
+
+
+def test_implicit_with_discontinuity_points():
+    """jump_ts clipping composes with the implicit stepper: piecewise
+    vector field -lambda1*y then -lambda2*y switching at t=1 (gradient
+    discontinuity), checked against the exact piecewise solution."""
+    from dynode_tpu.ode import ClipStepSizeController
+
+    def f(t, y, args):
+        lam = jnp.where(t < 1.0, 2.0, 0.5)
+        return (-lam * y[0],)
+
+    controller = ClipStepSizeController(
+        PIDController(rtol=1e-8, atol=1e-10), jump_ts=[1.0]
+    )
+    sol = diffeqsolve(
+        ODETerm(f), TRBDF2(), 0.0, 2.0, None, (jnp.ones(1),),
+        saveat=SaveAt(ts=jnp.asarray([0.5, 1.0, 1.5, 2.0])),
+        stepsize_controller=controller, max_steps=1024,
+    )
+    got = np.asarray(sol.ys[0]).ravel()
+    want = np.array([
+        np.exp(-2 * 0.5),
+        np.exp(-2 * 1.0),
+        np.exp(-2.0) * np.exp(-0.5 * 0.5),
+        np.exp(-2.0) * np.exp(-0.5 * 1.0),
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_nuts_through_implicit_solve():
+    """The full composition: NUTS gradients through the TRBDF2 Newton
+    iterations inside the checkpointed scan (decay-rate recovery)."""
+    import dynode_tpu.dist as dist
+    from dynode_tpu import simulate
+    from dynode_tpu.config import SolverParams
+    from dynode_tpu.infer import MCMC, NUTS, handlers
+
+    sp = SolverParams(
+        solver_method=TRBDF2(),
+        ode_solver_rel_tolerance=1e-6,
+        ode_solver_abs_tolerance=1e-8,
+    )
+    true_k = 1.3
+    ts_obs = jnp.linspace(0.5, 4.0, 8)
+
+    def decay(t, y, args):
+        return (-args * y[0],)
+
+    def observe(k):
+        sol = simulate(decay, 4, (jnp.asarray([100.0]),), k, sp)
+        return sol.ys[0][:, 0]
+
+    data = observe(jnp.asarray(true_k)) + jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.1, 5)
+    )
+
+    def model(obs=None):
+        k = handlers.sample("k", dist.LogNormal(0.0, 0.5))
+        handlers.sample("y", dist.Normal(observe(k), 0.1), obs=obs)
+
+    m = MCMC(NUTS(model, max_tree_depth=6), num_warmup=100,
+             num_samples=100, num_chains=2)
+    m.run(jax.random.PRNGKey(0), obs=data)
+    k_post = np.asarray(m.get_samples()["k"])
+    assert abs(k_post.mean() - true_k) < 0.05
+    assert int(np.asarray(m.get_extra_fields()["diverging"]).sum()) == 0
