@@ -10,6 +10,7 @@ contract stays single-metric).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -235,6 +236,36 @@ def main():
         f"means {np.round(post_mean, 3)} (true {np.asarray(true_scales)})",
         file=sys.stderr,
     )
+    # opt-in: measure the NUTS(batched_potential_fn=) lane-major potential
+    # (round-2 measurement: NO win over generic vmap at 1024 chains on this
+    # model -- kept measurable so the conclusion can be re-checked cheaply)
+    if os.environ.get("DYNODE_BENCH_BATCHED_POT"):
+        batched = build_lane_major_potential(obs)
+        mcmc_bp = MCMC(
+            NUTS(model, dense_mass=True, max_tree_depth=MAX_TREE_DEPTH,
+                 batched_potential_fn=batched),
+            num_warmup=NUM_WARMUP,
+            num_samples=NUM_SAMPLES,
+            num_chains=NUM_CHAINS,
+            progress_bar=False,
+            steps_per_call=16,
+        )
+        t0 = time.perf_counter()
+        mcmc_bp.run(jax.random.PRNGKey(1), obs=obs)
+        bp_wall = time.perf_counter() - t0
+        arr_bp = np.asarray(
+            mcmc_bp.get_samples(group_by_chain=True)["r0_scales"]
+        )
+        bp_ess = min(
+            effective_sample_size(arr_bp[:, :, k])
+            for k in range(arr_bp.shape[-1])
+        )
+        print(
+            f"[bench_nuts] batched-potential NUTS: {bp_wall:.1f}s, "
+            f"min ESS {bp_ess:.0f} -> {bp_ess / bp_wall:.0f} ESS/s",
+            file=sys.stderr,
+        )
+
     nuts_ess_s = ess / wall
     chees_ess_s = 0.0
     try:

@@ -43,16 +43,23 @@ DURATION = 200
 ENSEMBLE = 1024
 
 
+def _sync_finite(out):
+    """Fetch-sync AND validate: a NaN total means the solve produced
+    garbage (instability / budget exhaustion) and the timing is void."""
+    total = float(sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(out)))
+    if total != total:  # NaN
+        raise RuntimeError("solve produced non-finite output")
+    return total
+
+
 def _time(run, repeats=3):
     t0 = time.perf_counter()
-    out = run(0)
-    float(sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(out)))
+    _sync_finite(run(0))
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for rep in range(repeats):
         t0 = time.perf_counter()
-        out = run(rep + 1)
-        float(sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(out)))
+        _sync_finite(run(rep + 1))
         best = min(best, time.perf_counter() - t0)
     return best, compile_s
 
@@ -197,6 +204,19 @@ def main():
             )
         except Exception as e:
             print(f"[bench_seip] {name} failed: {e}", file=sys.stderr)
+    if not results:
+        print(
+            json.dumps(
+                {
+                    "metric": "seip_trajectories_per_sec",
+                    "value": 0.0,
+                    "unit": "traj/s",
+                    "vs_baseline": 0.0,
+                    "error": "all layout runs failed",
+                }
+            )
+        )
+        return
     tps = max(results.values())
     winner = max(results, key=results.get)
     print(

@@ -137,7 +137,8 @@ def plot_model_overview_subplot_matplotlib(
             squeeze=False,
             figsize=(6 * len(regions), 3 * len(plot_types)),
         )
-    dates = pd.to_datetime(df["date"])
+    # parse dates ONCE; the per-particle loop below reuses this column
+    df = df.assign(_dt=pd.to_datetime(df["date"]))
     for col_i, region in enumerate(regions):
         rsel = df["region"] == region
         for row_i, (title, ptype) in enumerate(zip(plot_titles, plot_types)):
@@ -151,15 +152,13 @@ def plot_model_overview_subplot_matplotlib(
                     if len(metric_cols) > 1
                     else mcol
                 )
-                first = True
                 for _, particle_df in df[rsel].groupby("chain_particle"):
                     ax.plot(
-                        pd.to_datetime(particle_df["date"]),
+                        particle_df["_dt"],
                         particle_df[mcol],
                         alpha=0.3,
                         lw=0.25,
                     )
-                    first = False
                 med = (
                     df[rsel]
                     .groupby("date")[mcol]
@@ -174,7 +173,6 @@ def plot_model_overview_subplot_matplotlib(
             ax.set_title(f"{region}: {title}" if row_i == 0 else title)
             if len(metric_cols) > 1:
                 ax.legend(fontsize=6)
-    _ = dates
     fig.tight_layout()
     return fig
 
