@@ -92,3 +92,42 @@ def test_sharded_chains_mcmc():
     assert samples.shape == (8, 50)
     mu = float(np.asarray(samples).mean())
     assert abs(mu - float(data.mean()) * 64 / 65) < 0.1
+
+
+def test_sharded_chees_bank_matches_unsharded():
+    """ChEES's cross-chain adaptation reduces over the sharded chain axis
+    (GSPMD psum collectives). The sharded bank must produce the same
+    draws as the unsharded one up to float reduction-order noise."""
+    import dynode_tpu.dist as dist
+    from dynode_tpu.infer import MCMC, ChEES, handlers
+
+    data = jnp.asarray(np.random.RandomState(1).randn(48) + 0.3)
+
+    def model(obs=None):
+        mu = handlers.sample("mu", dist.Normal(0.0, 1.0))
+        sigma = handlers.sample("sigma", dist.LogNormal(0.0, 0.5))
+        handlers.sample("x", dist.Normal(mu, sigma), obs=obs)
+
+    def run(mesh):
+        mcmc = MCMC(
+            ChEES(model),
+            num_warmup=80,
+            num_samples=60,
+            num_chains=16,
+            mesh=mesh,
+            chain_axis="chain",
+        )
+        mcmc.run(jax.random.PRNGKey(3), obs=data)
+        return np.asarray(mcmc.get_samples(group_by_chain=True)["mu"])
+
+    sharded = run(create_mesh(("chain",)))
+    unsharded = run(None)
+    assert sharded.shape == unsharded.shape == (16, 60)
+    # per-draw equality is NOT expected: a single MH accept threshold
+    # crossed differently under a different reduction order cascades. The
+    # contract is distributional: both banks sample the same posterior.
+    expected = float(data.mean()) * 48 / 49
+    assert abs(float(sharded.mean()) - expected) < 0.1
+    assert abs(float(unsharded.mean()) - expected) < 0.1
+    assert abs(float(sharded.std()) - float(unsharded.std())) < 0.05
+    assert bool(np.isfinite(sharded).all())
