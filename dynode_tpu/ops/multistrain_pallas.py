@@ -289,7 +289,7 @@ def _solve_pallas(
                 (p_pad_rows, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((d_pad, block_b), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -678,7 +678,7 @@ def _solve_pallas_2d(
                 (p_rows, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((d2, block_b), jnp.float32),
             pltpu.SemaphoreType.DMA,
