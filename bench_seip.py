@@ -41,6 +41,9 @@ from dynode_tpu.models.seip import (
 
 DURATION = 200
 ENSEMBLE = 1024
+# HBM-bound, so width saturation comes early: 15.1k traj/s at B=1024 ->
+# 19.5k at 2048 -> 19.9k at 4096 (v5e-1, batch-leading)
+WIDE_ENSEMBLE = 4096
 
 
 def _sync_finite(out):
@@ -204,6 +207,25 @@ def main():
             )
         except Exception as e:
             print(f"[bench_seip] {name} failed: {e}", file=sys.stderr)
+    try:
+        def run_wide(seed):
+            return lead_fn(
+                jax.random.uniform(
+                    jax.random.PRNGKey(seed), (WIDE_ENSEMBLE,),
+                    minval=0.85, maxval=1.2,
+                )
+            )
+
+        best, compile_s = _time(run_wide)
+        results["batch-leading-wide"] = WIDE_ENSEMBLE / best
+        print(
+            f"[bench_seip] batch-leading at saturating width "
+            f"({WIDE_ENSEMBLE}): {WIDE_ENSEMBLE / best:,.0f} traj/s "
+            f"(compile {compile_s:.0f}s)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench_seip] wide path failed: {e}", file=sys.stderr)
     if not results:
         print(
             json.dumps(
