@@ -21,6 +21,7 @@ up here.
 """
 
 import json
+import math
 import sys
 import time
 
@@ -47,10 +48,11 @@ WIDE_ENSEMBLE = 4096
 
 
 def _sync_finite(out):
-    """Fetch-sync AND validate: a NaN total means the solve produced
-    garbage (instability / budget exhaustion) and the timing is void."""
+    """Fetch-sync AND validate: a non-finite total (NaN *or* inf -- an
+    overflowing solve saturates to inf before it NaNs) means the solve
+    produced garbage and the timing is void."""
     total = float(sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(out)))
-    if total != total:  # NaN
+    if not math.isfinite(total):
         raise RuntimeError("solve produced non-finite output")
     return total
 

@@ -14,13 +14,14 @@ TPU-first differences from numpyro's host-loop design:
   compiles once; there is no per-iteration Python.
 """
 
+import warnings
 from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel import shard_batch
+from ..parallel import create_mesh, shard_batch
 from . import handlers
 from .chees import ChEES, make_chees_parts
 from .hmc import (
@@ -144,8 +145,18 @@ class MCMC:
         chain_axis: str = "chain",
         steps_per_call: Optional[int] = None,
         rescue_stuck_chains: bool = True,
-        **_ignored,
     ):
+        # NOTE: no **kwargs catch-all -- a misspelled option raises a
+        # TypeError instead of silently changing semantics (reference users
+        # reach this signature through MCMCProcess.mcmc_kwargs,
+        # /root/reference/src/dynode/infer/inference.py:127-131)
+        if chain_method not in ("vectorized", "sequential", "parallel"):
+            raise ValueError(
+                f"unknown chain_method {chain_method!r}: expected "
+                "'vectorized' (one vmapped bank, the TPU-native default), "
+                "'parallel' (mesh-sharded vectorized bank), or "
+                "'sequential' (host loop, one chain at a time)"
+            )
         self.kernel = kernel
         self.num_warmup = int(num_warmup)
         self.num_samples = int(num_samples)
@@ -209,10 +220,12 @@ class MCMC:
             if self.num_warmup > 0:
                 carry = warm_segment(carry, flags)
             state, da, wf, inv_mass, chol = carry
-            if self.kernel.adapt_step_size:
-                eps_final = jnp.exp(da.log_eps_avg)
-            else:
-                eps_final = jnp.asarray(self.kernel.step_size, dtype=dtype)
+            # exp(log_eps_avg) is correct whether or not step-size adaptation
+            # ran: da_init seeds the average with the fixed or searched eps,
+            # and with adapt_step_size=False it never moves (a direct
+            # jnp.asarray(kernel.step_size) here raised on None when the user
+            # relied on the automatic search with adaptation off)
+            eps_final = jnp.exp(da.log_eps_avg)
             return run_warm(state, inv_mass, chol, eps_final)
 
         return run
@@ -365,12 +378,10 @@ class MCMC:
             carry = jax.block_until_ready(carry)
 
         state, da, wf, inv_mass, chol = carry
-        if self.kernel.adapt_step_size:
-            eps_final = jnp.exp(da.log_eps_avg)
-        else:
-            eps_final = jnp.full(
-                (self.num_chains,), self.kernel.step_size, dtype=dtype
-            )
+        # exp(log_eps_avg) works for both adaptation modes (see _chain_fn):
+        # with adapt_step_size=False it stays pinned at the fixed/searched
+        # eps, and never raises on kernel.step_size=None
+        eps_final = jnp.exp(da.log_eps_avg)
 
         state, inv_mass, chol, eps_final = self._rescue_stuck_chains(
             state, inv_mass, chol, eps_final
@@ -463,6 +474,19 @@ class MCMC:
         chunks, one compile per phase).
         """
         kern = self.kernel
+        if self.num_chains < 8 and kern.trajectory_length is None:
+            # ChEES trajectory adaptation is a CROSS-CHAIN estimator: with
+            # one chain the centered gradient terms are identically zero
+            # (the trajectory silently never leaves its init) and with a
+            # handful of chains the gradient is extremely noisy
+            warnings.warn(
+                f"ChEES with num_chains={self.num_chains} (< 8): trajectory "
+                "adaptation pools statistics across chains and is "
+                "ineffective for narrow banks (with 1 chain it never moves "
+                "from its initialization). Use a wide bank, pass a fixed "
+                "trajectory_length, or switch to the NUTS kernel.",
+                stacklevel=3,
+            )
         init_bank, warm_segment, sample_segment = make_chees_parts(
             kern, pot_and_grad, D, dtype
         )
@@ -533,6 +557,51 @@ class MCMC:
         """
         if "rng_key" in kwargs and not isinstance(rng_key, jax.Array):
             raise ValueError("pass rng_key positionally or as first arg")
+        if warm_start is not None:
+            # loud kernel-compatibility check: NUTS warm starts carry a
+            # 3-tuple of tuned params, ChEES a bank-level 4-tuple (see
+            # warm_start_state) -- unpacking the wrong one used to fail
+            # deep inside the runner with an opaque arity error
+            _, tuned = warm_start
+            want = 4 if isinstance(self.kernel, ChEES) else 3
+            if len(tuned) != want:
+                raise ValueError(
+                    "warm_start kernel mismatch: the saved tuned-parameter "
+                    f"tuple has {len(tuned)} entries but a "
+                    f"{type(self.kernel).__name__} kernel expects {want} "
+                    "(NUTS saves (inv_mass, chol, step_size); ChEES saves "
+                    "(inv_mass, chol, step_size, trajectory)). Re-create "
+                    "the warm start with the same kernel type."
+                )
+        if self.chain_method == "parallel":
+            # numpyro's "parallel" = one host process per chain (pmap). The
+            # TPU-native equivalent is the mesh-sharded vectorized bank:
+            # identical math, GSPMD splits the chain axis across devices.
+            n_dev = len(jax.devices())
+            if (
+                self.mesh is None
+                and n_dev > 1
+                and self.num_chains % n_dev == 0
+            ):
+                self.mesh = create_mesh((self.chain_axis,))
+            warnings.warn(
+                "chain_method='parallel' runs as a mesh-sharded vectorized "
+                "chain bank on this backend (same posterior; chains are "
+                "split across devices via GSPMD rather than host pmap)",
+                stacklevel=2,
+            )
+        elif self.chain_method == "sequential":
+            if isinstance(self.kernel, ChEES):
+                raise ValueError(
+                    "ChEES adapts across the whole chain bank each "
+                    "transition; chain_method='sequential' cannot express "
+                    "it -- use 'vectorized'"
+                )
+            if warm_start is not None or self.steps_per_call is not None:
+                raise ValueError(
+                    "chain_method='sequential' does not compose with "
+                    "warm_start or steps_per_call; use 'vectorized'"
+                )
         self._model_args = args
         self._model_kwargs = kwargs
         model = self.kernel.model
@@ -637,6 +706,19 @@ class MCMC:
             self.last_state, self._tuned, collected = self._run_chunked(
                 pot_and_grad, D, dtype, z0s, chain_keys
             )
+        elif self.chain_method == "sequential":
+            # one chain at a time on the host; all chains share one compiled
+            # per-chain program (numpyro "sequential" semantics -- results
+            # match the vectorized bank chain-for-chain since chains are
+            # independent and keyed individually)
+            run_chain = jax.jit(self._chain_fn(pot_and_grad, D, dtype))
+            outs = [
+                jax.block_until_ready(run_chain(z0s[i], chain_keys[i]))
+                for i in range(self.num_chains)
+            ]
+            self.last_state, self._tuned, collected = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *outs
+            )
         else:
             run_chain = self._chain_fn(pot_and_grad, D, dtype)
             run_all = jax.jit(jax.vmap(run_chain))
@@ -725,7 +807,13 @@ class MCMC:
         return jax.vmap(replay)(samples)
 
     def warm_start_state(self):
-        """(last per-chain HMCState, adapted (inv_mass, chol, step_size)).
+        """The resumable sampler state: ``(last_state, tuned_params)``.
+
+        For a NUTS kernel: ``(per-chain HMCState, (inv_mass, chol,
+        step_size))``. For a ChEES kernel: ``(ChEESBankState, (inv_mass,
+        chol, step_size, trajectory))`` -- bank-level, 4 tuned entries.
+        ``run()`` raises a "warm_start kernel mismatch" error if a saved
+        state is fed to an MCMC configured with the other kernel type.
 
         Pass to a later ``run(..., warm_start=...)`` to continue sampling
         without re-running warmup (the reference keeps ``last_state`` "for

@@ -38,14 +38,45 @@ from dynode_tpu.models.seip import (
 )
 
 FAST = _bootstrap.fast_mode()
-# the delta strain is introduced at day 60; the fit window must cover its
-# growth phase or its transmission scale is unidentified
+# the second strain's transmission scale is only identified if the fit
+# window covers its introduction + growth phase, so the smoke-test (FAST)
+# configuration shrinks the introduction day along with the window
 FIT_DAYS = 30 if FAST else 100
+INTRO_DAY = 10.0 if FAST else 60.0
 NUM_CHAINS = 4 if FAST else 256
 NUM_WARMUP = 16 if FAST else 100
 NUM_SAMPLES = 16 if FAST else 100
 
+from dynode_tpu.config import Strain  # noqa: E402
+
+_MAX_VAX = 2
+_strains = [
+    Strain(
+        strain_name="alpha",
+        r0=2.2,
+        infectious_period=7.0,
+        exposed_to_infectious=3.6,
+        vaccine_efficacy={
+            k: min(0.35 * k, 0.8) for k in range(_MAX_VAX + 2)
+        },
+    ),
+    Strain(
+        strain_name="delta",
+        r0=3.0,
+        infectious_period=7.0,
+        exposed_to_infectious=3.6,
+        vaccine_efficacy={
+            k: min(0.30 * k, 0.7) for k in range(_MAX_VAX + 2)
+        },
+        is_introduced=True,
+        introduction_time=INTRO_DAY,
+        introduction_percentage=0.02,
+        introduction_scale=5.0,
+    ),
+]
+
 config = seip_config(
+    strains=_strains,
     seasonal_vaccination=True,
     solver_params=SolverParams(constant_step_size=0.5),
 )
