@@ -169,6 +169,40 @@ def bench_xla_adaptive(cfg, base, y0, n, repeats=2):
     return n / best
 
 
+def bench_lane_adaptive(cfg, base, y0, n, repeats=3):
+    """Lane-major adaptive through the save-grid-bounded engine: ONE shared
+    PID dt chain whose error norm spans the whole ensemble (every member
+    meets tolerance; dt tracks the stiffest member), adaptive steps landing
+    exactly on the daily save grid, zero segment buffer. This is the
+    production adaptive-ensemble path (round-3 redesign; the round-2
+    buffered engine was width-flat at ~21k traj/s).
+
+    steps_per_save=8: the shared chain pays the stiffest member's dt, so
+    peak-epidemic days need more than the derived default of 4 steps;
+    un-taken iterations are a real (scalar-predicate) branch in lane-major
+    mode and cost almost nothing."""
+    sp = cfg.parameters.solver_params.model_copy(
+        update={"steps_per_save": 8}
+    )
+    y0b = multistrain_ensemble_state(y0, n)
+
+    def run(seed):
+        pb = multistrain_ensemble_params(base, _draws(n, seed))
+        sol = simulate(multistrain_ode_ensemble, DURATION, y0b, pb, sp)
+        return sol.ys[-1][-1], sol.result
+
+    fn = jax.jit(run)
+    out = fn(0)
+    jax.block_until_ready(out)
+    assert int(jnp.sum(out[1] != 0)) == 0, "adaptive path exhausted budget"
+    best = float("inf")
+    for rep in range(repeats):
+        t0 = time.perf_counter()
+        _sync(fn(rep + 1)[0])
+        best = min(best, time.perf_counter() - t0)
+    return n / best
+
+
 def bench_cpu_adaptive(cfg, base, y0, n):
     """Adaptive-program CPU baseline (same program as bench_xla_adaptive)."""
     cpu = jax.devices("cpu")[0]
@@ -280,11 +314,22 @@ def main():
     try:
         xla_tps = bench_xla_adaptive(cfg, base, y0, ENSEMBLE)
         print(
-            f"[bench] xla adaptive engine:      {xla_tps:,.0f} traj/s",
+            f"[bench] xla adaptive per-member vmap: {xla_tps:,.0f} traj/s",
             file=sys.stderr,
         )
     except Exception as e:  # secondary measurement must not kill the bench
         print(f"[bench] xla adaptive path failed: {e}", file=sys.stderr)
+    lane_adapt_tps = 0.0
+    try:
+        lane_adapt_tps = bench_lane_adaptive(cfg, base, y0, WIDE_ENSEMBLE)
+        print(
+            f"[bench] adaptive lane-major (shared dt chain, "
+            f"{WIDE_ENSEMBLE}): {lane_adapt_tps:,.0f} traj/s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] adaptive lane-major path failed: {e}", file=sys.stderr)
+    adaptive_tps = max(xla_tps, lane_adapt_tps)
 
     # same-program ratios: constant/constant (headline) + adaptive/adaptive
     vs_baseline = 0.0
@@ -302,7 +347,7 @@ def main():
         print(f"[bench] cpu constant baseline failed: {e}", file=sys.stderr)
     try:
         cpu_adapt_tps = bench_cpu_adaptive(cfg, base, y0, CPU_ENSEMBLE)
-        vs_adaptive = xla_tps / cpu_adapt_tps if cpu_adapt_tps else 0.0
+        vs_adaptive = adaptive_tps / cpu_adapt_tps if cpu_adapt_tps else 0.0
         print(
             f"[bench] cpu adaptive baseline:    {cpu_adapt_tps:,.0f} traj/s "
             f"-> adaptive/adaptive speedup {vs_adaptive:.1f}x",
@@ -310,6 +355,36 @@ def main():
         )
     except Exception as e:
         print(f"[bench] cpu adaptive baseline failed: {e}", file=sys.stderr)
+
+    # ---- second half of the BASELINE.md headline: NUTS/ChEES ESS per sec
+    # and the matched-quality north-star ratio, folded into the same JSON
+    # artifact the driver captures (VERDICT round 2, item 3) -------------
+    ess_per_sec = 0.0
+    matched_quality = 0.0
+    try:
+        import numpy as np
+
+        import bench_nuts
+
+        model, forward = bench_nuts.build_model()
+        true_scales = jnp.array([1.1, 0.95, 1.05])
+        c = forward(true_scales)
+        obs = jax.random.poisson(
+            jax.random.PRNGKey(0), jnp.maximum(jnp.diff(c, axis=0), 1e-6)
+        )
+        ess_per_sec, chees_post = bench_nuts.bench_chees(
+            model, obs, num_chains=1024
+        )
+        drift = float(np.max(np.abs(chees_post - np.asarray(true_scales))))
+        if drift > 0.05:
+            print(
+                f"[bench] ChEES posterior drift {drift:.3f}; voiding ESS/s",
+                file=sys.stderr,
+            )
+            ess_per_sec = 0.0
+        matched_quality, *_ = bench_nuts.bench_matched_quality(model, obs)
+    except Exception as e:
+        print(f"[bench] ESS/matched-quality measurement failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -323,6 +398,10 @@ def main():
                     WIDE_ENSEMBLE if wide_tps >= tps else ENSEMBLE
                 ),
                 "value_at_10k": round(tps, 1),
+                "traj_per_sec": round(tps_best, 1),
+                "traj_per_sec_adaptive": round(adaptive_tps, 1),
+                "ess_per_sec": round(ess_per_sec, 1),
+                "matched_quality_speedup": round(matched_quality, 1),
             }
         )
     )

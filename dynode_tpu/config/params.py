@@ -68,6 +68,14 @@ class SolverParams(BaseModel):
         "budget ~1.5x the expected accepted+rejected step count for best "
         "throughput. See dynode_tpu.simulation.tune_step_budget.",
     )
+    steps_per_save: Optional[PositiveInt] = Field(
+        default=None,
+        description="TPU-specific: per-save-interval step bound for the "
+        "save-grid-bounded adaptive engine (uniform save grids only). "
+        "Defaults to ceil(step_budget / n_intervals) + 1; raise it when a "
+        "solve needs many adaptive steps inside a single save interval "
+        "(exhaustion NaN-fills that save and flags result, loudly).",
+    )
 
 
 class TransmissionParams(BaseModel):

@@ -126,6 +126,7 @@ def simulate(
         saveat=build_saveat(t0, duration_days, save_step, sub_save_indices),
         max_steps=int(solver_parameters.max_steps),
         step_budget=solver_parameters.step_budget,
+        steps_per_save=solver_parameters.steps_per_save,
     )
 
 
