@@ -14,6 +14,7 @@ TPU-first differences from numpyro's host-loop design:
   compiles once; there is no per-iteration Python.
 """
 
+import math
 import warnings
 from typing import Callable, Dict, Optional
 
@@ -182,6 +183,8 @@ class MCMC:
         self._model_kwargs: dict = {}
         self.last_state = None
         self._tuned = None  # per-chain (inv_mass, chol, eps) after adaptation
+        #: per-site max sub-bank z-scores from ``run(consensus_check=k)``
+        self.consensus_report: Optional[Dict[str, float]] = None
 
     # -- single-chain program (vmapped below) -------------------------------
 
@@ -547,13 +550,21 @@ class MCMC:
 
     # -- public API ----------------------------------------------------------
 
-    def run(self, rng_key, *args, warm_start=None, **kwargs):
+    def run(self, rng_key, *args, warm_start=None, consensus_check=None, **kwargs):
         """Trace the model, adapt, and sample; all chains in one program.
 
         ``warm_start``: a value from :meth:`warm_start_state` of a previous
         run -- skips warmup entirely and continues sampling from the saved
         per-chain states with the saved mass matrices and step sizes
         (chained inference).
+
+        ``consensus_check``: split the chain bank into this many sub-banks
+        after sampling and compare their posterior means against the
+        combined Monte-Carlo standard errors -- the cheap cross-width
+        sanity check recommended after the tunnel-integrity incident (see
+        README "Shared-tunnel caveats"). Warns loudly when any site's
+        sub-bank means diverge by more than 4 combined SEs; the per-site
+        max z-scores are stored on :attr:`consensus_report`.
         """
         if "rng_key" in kwargs and not isinstance(rng_key, jax.Array):
             raise ValueError("pass rng_key positionally or as first arg")
@@ -729,10 +740,69 @@ class MCMC:
             self.last_state, self._tuned, collected = run_all(z0s, chain_keys)
         z = collected.pop("z")  # (chains, samples, D)
         self._collect(z, collected)
+        if consensus_check:
+            self.consensus_report = self._consensus_check(int(consensus_check))
         if self.progress_bar:
             div = int(jnp.sum(self._extra_fields["diverging"]))
             print(f"[dynode_tpu.MCMC] done; divergences={div}")
         return self
+
+    def _consensus_check(self, k: int):
+        """Compare posterior means across ``k`` disjoint sub-banks.
+
+        Chains are independent given the seed, so sub-bank means must agree
+        to within Monte-Carlo error; a systematic divergence indicates a
+        corrupted run (e.g. the irreproducible biased posterior observed
+        once under heavy tunnel congestion) rather than sampling noise. For
+        each site and element, each sub-bank contributes
+        ``(mean, var/ESS)``; pairs are compared via
+        ``z = |mean_i - mean_j| / sqrt(sem_i^2 + sem_j^2)`` and the max z
+        per site is returned. z > 4 triggers a warning recommending a
+        re-run. O(sites x elements x k x draws log draws) on the host.
+        """
+        from .diagnostics import effective_sample_size
+
+        if k < 2:
+            raise ValueError("consensus_check needs k >= 2 sub-banks")
+        if self.num_chains < 2 * k:
+            raise ValueError(
+                f"consensus_check={k} needs at least {2 * k} chains "
+                f"(got {self.num_chains}) so every sub-bank has >= 2"
+            )
+        report = {}
+        flagged = []
+        for name, v in self._samples.items():
+            arr = np.asarray(jax.device_get(v), dtype=np.float64)
+            flat = arr.reshape(arr.shape[0], arr.shape[1], -1)
+            groups = np.array_split(np.arange(arr.shape[0]), k)
+            max_z = 0.0
+            for e in range(flat.shape[-1]):
+                stats = []
+                for g in groups:
+                    x = flat[g, :, e]
+                    ess = max(effective_sample_size(x), 1.0)
+                    stats.append((float(x.mean()), float(x.var(ddof=1)) / ess))
+                for i in range(k):
+                    for j in range(i + 1, k):
+                        dm = abs(stats[i][0] - stats[j][0])
+                        se = math.sqrt(stats[i][1] + stats[j][1])
+                        if se > 0.0:
+                            max_z = max(max_z, dm / se)
+                        elif dm > 0.0:
+                            max_z = float("inf")
+            report[name] = max_z
+            if max_z > 4.0:
+                flagged.append((name, max_z))
+        if flagged:
+            detail = ", ".join(f"{n}: z={z:.1f}" for n, z in flagged)
+            warnings.warn(
+                f"consensus check FAILED ({detail}): sub-bank posterior "
+                "means diverge beyond Monte-Carlo error. The run may be "
+                "corrupted (see README tunnel-integrity incident); re-run "
+                "with a fresh seed before trusting this posterior.",
+                stacklevel=3,
+            )
+        return report
 
     def _collect(self, z, extras):
         unravel = self._unravel
