@@ -52,8 +52,8 @@ POPULATION = 100_000  # large counts -> tight Poisson likelihood, so the
 # criterion (BASELINE.md) is directly assertable.
 
 
-@pytest.fixture(scope="module")
-def observed_incidence():
+def make_observed_incidence():
+    """The seeded synthetic observation (shared with the golden generator)."""
     config = sir_age_config(r_0=TRUE_R0, infectious_period=TRUE_INF_PERIOD)
     config.initializer.population_size = POPULATION
     sol = _run_simulation(config, TF)
@@ -63,8 +63,7 @@ def observed_incidence():
     )
 
 
-@pytest.fixture(scope="module")
-def prior_config():
+def make_prior_config():
     config = sir_age_config()
     config.initializer.population_size = POPULATION
     config.parameters.transmission_params.strains = [
@@ -81,8 +80,9 @@ def prior_config():
     return config
 
 
-@pytest.fixture(scope="module")
-def mcmc_fit(prior_config, observed_incidence):
+def make_mcmc_fit(prior_config, observed_incidence):
+    """The seeded reference fit; tests/golden/gen_posteriors.py runs this
+    exact program to pin the golden posterior moments."""
     proc = MCMCProcess(
         numpyro_model=_model,
         num_warmup=150,
@@ -93,6 +93,21 @@ def mcmc_fit(prior_config, observed_incidence):
     )
     proc.infer(config=prior_config, tf=TF, obs_data=observed_incidence)
     return proc
+
+
+@pytest.fixture(scope="module")
+def observed_incidence():
+    return make_observed_incidence()
+
+
+@pytest.fixture(scope="module")
+def prior_config():
+    return make_prior_config()
+
+
+@pytest.fixture(scope="module")
+def mcmc_fit(prior_config, observed_incidence):
+    return make_mcmc_fit(prior_config, observed_incidence)
 
 
 class TestNUTSThroughODE:
@@ -108,6 +123,37 @@ class TestNUTSThroughODE:
     def test_zero_divergences(self, mcmc_fit):
         extras = mcmc_fit._inferer.get_extra_fields()
         assert int(jnp.sum(extras["diverging"])) == 0
+
+    def test_posterior_moments_match_golden(self, mcmc_fit):
+        """Pin the seeded f64 CPU posterior against tests/golden/posteriors.npz.
+
+        The generating-value check above proves statistical correctness; this
+        one locks the *exact seeded posterior moments* so sampler/solver
+        refactors cannot silently shift the posterior while staying inside
+        the 1% recovery band. Regenerate with tests/golden/gen_posteriors.py
+        after an intentional sampler change (document why in the commit).
+        """
+        import pathlib
+
+        import numpy as np
+
+        golden_path = (
+            pathlib.Path(__file__).parents[1] / "golden" / "posteriors.npz"
+        )
+        if not golden_path.exists():
+            pytest.skip("golden posterior artifact not generated")
+        golden = np.load(golden_path)
+        samples = mcmc_fit.get_samples()
+        for site in ("strains_0_r0", "strains_0_infectious_period"):
+            arr = np.asarray(samples[site], dtype=np.float64)
+            np.testing.assert_allclose(
+                arr.mean(), golden[f"{site}_mean"], rtol=5e-3,
+                err_msg=f"{site} posterior mean drifted from golden",
+            )
+            np.testing.assert_allclose(
+                arr.std(), golden[f"{site}_std"], rtol=0.10,
+                err_msg=f"{site} posterior std drifted from golden",
+            )
 
     def test_chains_mixed(self, mcmc_fit):
         # per-chain posterior means must agree across all 4 chains
