@@ -76,6 +76,15 @@ class SolverParams(BaseModel):
         "solve needs many adaptive steps inside a single save interval "
         "(exhaustion NaN-fills that save and flags result, loudly).",
     )
+    compensated_summation: bool = Field(
+        default=False,
+        description="TPU-specific: Kahan-compensated (double-word) state "
+        "accumulation in the RK update. In f32 the accumulated roundoff of "
+        "thousands of steps dominates tight tolerances; compensation "
+        "removes the O(n_steps) term for ~1 extra add-chain per step, "
+        "making reference-grade atol reachable on-chip without x64 (see "
+        "docs/simulation.md tolerance envelope).",
+    )
 
 
 class TransmissionParams(BaseModel):

@@ -50,6 +50,15 @@ class AbstractImplicitSolver(AbstractSolver):
     diag: Tuple[float, ...]
     newton_iters: int = 6
 
+    def step_inc(self, term: ODETerm, t, dt, y, args, f0=None):
+        # difference fallback: implicit stages solve for y1 directly, so the
+        # raw increment is not separately available; compensated summation
+        # degrades gracefully (Sterbenz-exact for small steps) rather than
+        # being refused for stiff solvers
+        y1, err, f1 = self.step(term, t, dt, y, args, f0=f0)
+        inc = jax.tree_util.tree_map(lambda a, b: a - b, y1, y)
+        return inc, err, f1
+
     def step(self, term: ODETerm, t, dt, y, args, f0=None):
         yflat, unravel = ravel_pytree(y)
         n = yflat.shape[0]

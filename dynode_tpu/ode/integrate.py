@@ -57,6 +57,24 @@ def _tree_select(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+def _kahan_update(y, comp, inc):
+    """Compensated ``y += inc`` with carried per-leaf compensation ``comp``.
+
+    Classic Kahan: fold the running compensation into the increment before
+    adding, then recover the bits ``fl(y + inc_c)`` dropped. Keeps the state
+    accumulation at double-word precision across thousands of f32 steps --
+    the accumulated-roundoff term of the global error drops from
+    O(n_steps * eps * |y|) to O(eps * |y|), leaving truncation + per-step
+    RHS-argument noise (SolverParams.compensated_summation).
+    """
+    inc_c = jax.tree_util.tree_map(lambda i, c: i + c, inc, comp)
+    y_new = jax.tree_util.tree_map(lambda a, b: a + b, y, inc_c)
+    comp_new = jax.tree_util.tree_map(
+        lambda a, an, b: (a - an) + b, y, y_new, inc_c
+    )
+    return y_new, comp_new
+
+
 def _unwrap_pid(controller) -> Optional[PIDController]:
     inner = controller
     while hasattr(inner, "controller"):
@@ -109,6 +127,7 @@ def _uniform_grid_info(save_ts, t0, t1):
         "subs_fn",
         "budget",
         "chunk",
+        "compensated",
     ),
 )
 def _solve(
@@ -118,6 +137,7 @@ def _solve(
     subs_fn,
     budget: int,
     chunk: int,
+    compensated: bool,
     t0_arr,
     t1_arr,
     dt0,
@@ -151,7 +171,7 @@ def _solve(
     zero_i = jnp.zeros((), dtype=jnp.int32)
 
     def do_step(carry):
-        t, t_comp, y, f, dt_next, na, nr = carry
+        t, t_comp, y, yc, f, dt_next, na, nr = carry
         dt_allowed = t1_arr - t
         if jump_grid is not None:
             nj = jump_grid[jnp.searchsorted(jump_grid[:-1], t, side="right")]
@@ -168,7 +188,12 @@ def _solve(
         dt_used = jax.lax.stop_gradient(jnp.minimum(dt_next, dt_allowed))
         jumping = (dt_used >= dt_to_jump) if nj is not None else jnp.asarray(False)
 
-        y1, err, f1 = solver.step(term, t, dt_used, y, args, f0=f)
+        if compensated:
+            inc, err, f1 = solver.step_inc(term, t, dt_used, y, args, f0=f)
+            y1, yc1 = _kahan_update(y, yc, inc)
+        else:
+            y1, err, f1 = solver.step(term, t, dt_used, y, args, f0=f)
+            yc1 = yc
 
         if adaptive and pid is not None:
             norm = rms_error_norm(err, y, y1, pid.rtol, pid.atol)
@@ -198,6 +223,7 @@ def _solve(
             t_comp_new = jnp.where(made_jump, jnp.zeros_like(t_comp_new), t_comp_new)
 
         y_next = _tree_select(accept, y1, y)
+        yc_next = _tree_select(accept, yc1, yc)
         if solver.fsal:
             f_next = _tree_select(accept, f1, f)
             if nj is not None:
@@ -209,7 +235,7 @@ def _solve(
             f_next = f
         na = na + accept.astype(jnp.int32)
         nr = nr + (~accept).astype(jnp.int32)
-        new_carry = (t_new, t_comp_new, y_next, f_next, dt_new, na, nr)
+        new_carry = (t_new, t_comp_new, y_next, yc_next, f_next, dt_new, na, nr)
         # emit (true segment start, pre-hop segment end, end state): resteps
         # for the save grid must start on the correct side of any jump
         return new_carry, (t, t_end_prehop, y_next)
@@ -226,10 +252,12 @@ def _solve(
     def chunk_fn(carry, _):
         return jax.lax.scan(body, carry, None, length=chunk)
 
+    yc0 = jax.tree_util.tree_map(jnp.zeros_like, y0) if compensated else ()
     carry0 = (
         t0_arr,
         jnp.zeros((), dtype=fdtype),
         y0,
+        yc0,
         f0,
         dt_init,
         zero_i,
@@ -249,7 +277,7 @@ def _solve(
         carry_final, (t_starts, t_ends, y_ends) = chunk_fn(carry0, None)
 
     t_final = carry_final[0]
-    na, nr = carry_final[5], carry_final[6]
+    na, nr = carry_final[6], carry_final[7]
     reached = t_final >= t1_arr - t1_eps
     result = jnp.where(reached, RESULT_SUCCESS, RESULT_MAX_STEPS).astype(
         jnp.int32
@@ -313,6 +341,7 @@ def _solve(
         "k_per_interval",
         "n_saves",
         "budget",
+        "compensated",
     ),
 )
 def _solve_adaptive_grid(
@@ -323,6 +352,7 @@ def _solve_adaptive_grid(
     k_per_interval: int,
     n_saves: int,
     budget: int,
+    compensated: bool,
     t0_arr,
     dt0,
     y0,
@@ -380,7 +410,7 @@ def _solve_adaptive_grid(
     zero_i = jnp.zeros((), dtype=jnp.int32)
 
     def do_step(carry, s_end):
-        t, t_comp, y, f, dt_next, na, nr = carry
+        t, t_comp, y, yc, f, dt_next, na, nr = carry
         dt_to_end = s_end - t
         dt_allowed = dt_to_end
         if jump_grid is not None:
@@ -396,7 +426,12 @@ def _solve_adaptive_grid(
             (dt_used >= dt_to_jump) if nj is not None else jnp.asarray(False)
         )
 
-        y1, err, f1 = solver.step(term, t, dt_used, y, args, f0=f)
+        if compensated:
+            inc, err, f1 = solver.step_inc(term, t, dt_used, y, args, f0=f)
+            y1, yc1 = _kahan_update(y, yc, inc)
+        else:
+            y1, err, f1 = solver.step(term, t, dt_used, y, args, f0=f)
+            yc1 = yc
 
         if pid is not None:
             norm = rms_error_norm(err, y, y1, pid.rtol, pid.atol)
@@ -437,6 +472,7 @@ def _solve_adaptive_grid(
         )
 
         y_next = _tree_select(accept, y1, y)
+        yc_next = _tree_select(accept, yc1, yc)
         if solver.fsal:
             f_next = _tree_select(accept, f1, f)
             if nj is not None:
@@ -446,7 +482,7 @@ def _solve_adaptive_grid(
             f_next = f
         na = na + accept.astype(jnp.int32)
         nr = nr + (~accept).astype(jnp.int32)
-        return (t_new, t_comp_new, y_next, f_next, dt_new, na, nr)
+        return (t_new, t_comp_new, y_next, yc_next, f_next, dt_new, na, nr)
 
     def make_interval(k_steps):
         def interval(carry, s_end):
@@ -455,7 +491,7 @@ def _solve_adaptive_grid(
                 # (the budget keeps the reference's loud max_steps contract
                 # -- src/dynode/config/params.py:51-55 -- even though the
                 # compiled scan shape is k_per_interval * n_intervals)
-                done = (c[0] >= s_end - seg_eps) | (c[5] + c[6] >= budget)
+                done = (c[0] >= s_end - seg_eps) | (c[6] + c[7] >= budget)
                 return jax.lax.cond(
                     done, lambda cc: cc, lambda cc: do_step(cc, s_end), c
                 ), None
@@ -475,10 +511,12 @@ def _solve_adaptive_grid(
 
         return interval
 
+    yc0 = jax.tree_util.tree_map(jnp.zeros_like, y0) if compensated else ()
     carry0 = (
         t0_arr,
         jnp.zeros((), dtype=fdtype),
         y0,
+        yc0,
         f0,
         dt_init,
         zero_i,
@@ -499,7 +537,7 @@ def _solve_adaptive_grid(
     carry_final, (ys_tail, reached_tail) = jax.lax.scan(
         interval_fn, carry1, save_ts[2:]
     )
-    na, nr = carry_final[5], carry_final[6]
+    na, nr = carry_final[6], carry_final[7]
     result = jnp.where(
         reached1 & jnp.all(reached_tail), RESULT_SUCCESS, RESULT_MAX_STEPS
     ).astype(jnp.int32)
@@ -533,7 +571,9 @@ def _solve_adaptive_grid(
 
 @partial(
     jax.jit,
-    static_argnames=("term", "solver", "subs_fn", "stride", "n_saves"),
+    static_argnames=(
+        "term", "solver", "subs_fn", "stride", "n_saves", "compensated"
+    ),
 )
 def _solve_constant_direct(
     term: ODETerm,
@@ -541,6 +581,7 @@ def _solve_constant_direct(
     subs_fn,
     stride: int,
     n_saves: int,
+    compensated: bool,
     t0_arr,
     dt,
     y0,
@@ -559,19 +600,25 @@ def _solve_constant_direct(
     f0 = term.vf(t0_arr, y0, args)
 
     def inner(carry, _):
-        t, y, f = carry
-        y1, _, f1 = solver.step(term, t, dt, y, args, f0=f)
+        t, y, yc, f = carry
+        if compensated:
+            inc, _, f1 = solver.step_inc(term, t, dt, y, args, f0=f)
+            y1, yc1 = _kahan_update(y, yc, inc)
+        else:
+            y1, _, f1 = solver.step(term, t, dt, y, args, f0=f)
+            yc1 = yc
         f1 = f1 if solver.fsal else f
-        return (t + dt, y1, f1), None
+        return (t + dt, y1, yc1, f1), None
 
     def outer(carry, _):
         carry, _ = jax.lax.scan(inner, carry, None, length=stride)
-        t, y, _ = carry
+        t, y, _, _ = carry
         emit = subs_fn(t, y, args) if subs_fn is not None else y
         return carry, emit
 
     outer_fn = jax.checkpoint(outer) if n_saves > 8 else outer
-    carry0 = (t0_arr, y0, f0)
+    yc0 = jax.tree_util.tree_map(jnp.zeros_like, y0) if compensated else ()
+    carry0 = (t0_arr, y0, yc0, f0)
     _, ys_tail = jax.lax.scan(outer_fn, carry0, None, length=n_saves - 1)
 
     first = subs_fn(t0_arr, y0, args) if subs_fn is not None else y0
@@ -612,6 +659,7 @@ def diffeqsolve(
     step_budget: Optional[int] = None,
     checkpoint_every: Optional[int] = None,
     steps_per_save: Optional[int] = None,
+    compensated_summation: bool = False,
 ) -> Solution:
     """Integrate ``term`` from t0 to t1 and return saved states on a grid.
 
@@ -676,6 +724,7 @@ def diffeqsolve(
                         subs_fn,
                         stride,
                         n_pts,
+                        bool(compensated_summation),
                         t0_arr,
                         jnp.asarray(sdt, dtype=fdtype),
                         y0,
@@ -712,6 +761,7 @@ def diffeqsolve(
                 k,
                 n_pts,
                 budget,
+                bool(compensated_summation),
                 t0_arr,
                 None if dt0 is None else jnp.asarray(dt0, dtype=fdtype),
                 y0,
@@ -738,6 +788,7 @@ def diffeqsolve(
         subs_fn,
         budget,
         chunk,
+        bool(compensated_summation),
         t0_arr,
         t1_arr,
         dt0_arr,

@@ -82,12 +82,7 @@ class AbstractSolver:
     def __eq__(self, other):
         return type(self) is type(other)
 
-    def step(self, term: ODETerm, t, dt, y, args, f0=None):
-        """Advance one step: returns (y1, err, f1_for_fsal).
-
-        ``f0`` is the FSAL carry (``f(t, y)``); computed fresh if None.
-        ``err`` is None for solvers without an embedded error estimate.
-        """
+    def _stages_and_err(self, term: ODETerm, t, dt, y, args, f0=None):
         ks = []
         if self.fsal and f0 is not None:
             k1 = f0
@@ -100,9 +95,6 @@ class AbstractSolver:
             ]
             y_stage = _tree_muladd(y, coeffs) if coeffs else y
             ks.append(term.vf(t + self.c[i] * dt, y_stage, args))
-        y1 = _tree_muladd(
-            y, [(dt * bj, ks[j]) for j, bj in enumerate(self.b) if bj != 0.0]
-        )
         if self.e is not None:
             err = _tree_muladd(
                 jax.tree_util.tree_map(jnp.zeros_like, y),
@@ -111,7 +103,35 @@ class AbstractSolver:
         else:
             err = None
         f1 = ks[-1] if self.fsal else None
+        return ks, err, f1
+
+    def step(self, term: ODETerm, t, dt, y, args, f0=None):
+        """Advance one step: returns (y1, err, f1_for_fsal).
+
+        ``f0`` is the FSAL carry (``f(t, y)``); computed fresh if None.
+        ``err`` is None for solvers without an embedded error estimate.
+        """
+        ks, err, f1 = self._stages_and_err(term, t, dt, y, args, f0)
+        y1 = _tree_muladd(
+            y, [(dt * bj, ks[j]) for j, bj in enumerate(self.b) if bj != 0.0]
+        )
         return y1, err, f1
+
+    def step_inc(self, term: ODETerm, t, dt, y, args, f0=None):
+        """Like :meth:`step`, but returns ``(inc, err, f1)`` with the raw
+        per-step increment ``inc = dt * sum_j b_j k_j`` (so ``y1 = y + inc``).
+
+        The increment is what compensated (Kahan/TwoSum) accumulation in the
+        integrator needs: ``fl(y + inc)`` discards the low bits of ``inc``,
+        and recovering them from ``y1 - y`` would re-lose exactly those bits.
+        Implicit solvers fall back to the (uncompensatable) difference form.
+        """
+        ks, err, f1 = self._stages_and_err(term, t, dt, y, args, f0)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, y)
+        inc = _tree_muladd(
+            zeros, [(dt * bj, ks[j]) for j, bj in enumerate(self.b) if bj != 0.0]
+        )
+        return inc, err, f1
 
 
 class Euler(AbstractSolver):

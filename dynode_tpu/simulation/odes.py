@@ -127,6 +127,7 @@ def simulate(
         max_steps=int(solver_parameters.max_steps),
         step_budget=solver_parameters.step_budget,
         steps_per_save=solver_parameters.steps_per_save,
+        compensated_summation=solver_parameters.compensated_summation,
     )
 
 
