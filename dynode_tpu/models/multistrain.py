@@ -12,6 +12,7 @@ from datetime import date
 from types import SimpleNamespace
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from ..config import (
@@ -49,7 +50,12 @@ def multistrain_ode(t, state: CompartmentState, p: MultiStrainParams):
     s, e, i, r, c = state
     n_age = s + e.sum(axis=-1) + i.sum(axis=-1) + r.sum(axis=-1)
     infectious_frac = i / n_age[:, None]  # (A, K)
-    foi = p.beta[None, :] * (p.contact_matrix @ infectious_frac)  # (A, K)
+    # full-f32 contraction: TPU matmuls default to bf16 MXU passes, a
+    # measured ~2e-3 relative drift on the SEIP path (probe_seip_kernel3);
+    # these A x A contractions are tiny, so HIGHEST costs nothing
+    foi = p.beta[None, :] * jnp.matmul(
+        p.contact_matrix, infectious_frac, precision=jax.lax.Precision.HIGHEST
+    )  # (A, K)
     new_inf = foi * s[:, None]  # (A, K)
     ds = -new_inf.sum(axis=-1) + (p.omega * r).sum(axis=-1)
     de = new_inf - p.sigma * e
@@ -195,7 +201,10 @@ def multistrain_ode_ensemble(t, state: CompartmentState, p: MultiStrainParams):
     s, e, i, r, c = state
     n_age = s + e.sum(axis=1) + i.sum(axis=1) + r.sum(axis=1)  # (A, B)
     infectious_frac = i / n_age[:, None, :]  # (A, K, B)
-    mixed = jnp.einsum("ab,bkx->akx", p.contact_matrix, infectious_frac)
+    mixed = jnp.einsum(
+        "ab,bkx->akx", p.contact_matrix, infectious_frac,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     foi = p.beta[None, :, :] * mixed  # (A, K, B)
     new_inf = foi * s[:, None, :]
     ds = -new_inf.sum(axis=1) + (p.omega[:, None] * r).sum(axis=1)

@@ -30,6 +30,7 @@ from datetime import date
 from types import SimpleNamespace
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,6 +90,13 @@ class SEIPParams(AbstractODEParams):
     seasonal_vaccination: bool = False
 
 
+# full-f32 contractions: TPU einsum/matmul default to bf16 MXU passes --
+# measured ~2e-3 relative drift over 10 days vs an f64 oracle, while the
+# exact-f32 Pallas kernel sits at ~3e-7 (probe_seip_kernel3). These
+# contractions are tiny (4x4-ish), so HIGHEST costs nothing measurable.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _phi_seasonal(t, tau):
     """sin^1000 pulse around the vaccination-season change (ode_model.md:86-98)."""
     s = jnp.sin(2.0 * jnp.pi * (t + tau) / 730.0)
@@ -120,7 +128,7 @@ def seip_ode(t, state: CompartmentState, p: SEIPParams):
     )  # (L,)
     external = pulse[:, None] * p.intro_age_mask * p.pop[None, :]  # (L, A)
     infectious = jnp.sum(I, axis=(1, 2)) + external.T  # (A, L)
-    mixed = p.contact @ infectious  # (A, L)
+    mixed = jnp.matmul(p.contact, infectious, precision=_PREC)  # (A, L)
     lam = (p.beta[None, :] * season / p.pop[:, None]) * mixed  # (A, L)
 
     # ---- layered immunity (ode_model.md:176-232) -------------------------
@@ -138,16 +146,16 @@ def seip_ode(t, state: CompartmentState, p: SEIPParams):
     # dominant HBM traffic of the RHS at ensemble width)
     new_exposed = (
         lam[:, None, None, :]
-        * jnp.einsum("ljkm,ajkm->ajkl", escape, S)
+        * jnp.einsum("ljkm,ajkm->ajkl", escape, S, precision=_PREC)
     )  # (A,J,K,L): sum over m
-    dS = -jnp.einsum("al,ljkm->ajkm", lam, escape) * S  # sum over l
+    dS = -jnp.einsum("al,ljkm->ajkm", lam, escape, precision=_PREC) * S  # sum over l
     dE = new_exposed - p.sigma * E
     dI = p.sigma * E - p.gamma * I
     dC = new_exposed
 
     # ---- recovery through the immune-history transition ------------------
     recovered = p.gamma * I  # (A,J,K,L)
-    rec_to_hist = jnp.einsum("ajkl,jlh->ahk", recovered, p.eta_onehot)
+    rec_to_hist = jnp.einsum("ajkl,jlh->ahk", recovered, p.eta_onehot, precision=_PREC)
     dS = dS + _pad_axis(rec_to_hist[..., None], 3, 0, M - 1)  # at m=0
 
     # ---- vaccination uptake (splines, saturated per dose tier) -----------
@@ -211,7 +219,7 @@ def seip_ode_scatter(t, state: CompartmentState, p: SEIPParams):
     )  # (L,)
     external = pulse[:, None] * p.intro_age_mask * p.pop[None, :]  # (L, A)
     infectious = jnp.sum(I, axis=(1, 2)) + external.T  # (A, L)
-    mixed = p.contact @ infectious  # (A, L)
+    mixed = jnp.matmul(p.contact, infectious, precision=_PREC)  # (A, L)
     lam = (p.beta[None, :] * season / p.pop[:, None]) * mixed  # (A, L)
 
     ii = 1.0 - (1.0 - p.chi[:, :, None]) * (1.0 - p.vax_eff[:, None, :])
@@ -221,15 +229,15 @@ def seip_ode_scatter(t, state: CompartmentState, p: SEIPParams):
 
     new_exposed = (
         lam[:, None, None, :]
-        * jnp.einsum("ljkm,ajkm->ajkl", escape, S)
+        * jnp.einsum("ljkm,ajkm->ajkl", escape, S, precision=_PREC)
     )  # (A,J,K,L)
-    dS = -jnp.einsum("al,ljkm->ajkm", lam, escape) * S
+    dS = -jnp.einsum("al,ljkm->ajkm", lam, escape, precision=_PREC) * S
     dE = new_exposed - p.sigma * E
     dI = p.sigma * E - p.gamma * I
     dC = new_exposed
 
     recovered = p.gamma * I  # (A,J,K,L)
-    rec_to_hist = jnp.einsum("ajkl,jlh->ahk", recovered, p.eta_onehot)
+    rec_to_hist = jnp.einsum("ajkl,jlh->ahk", recovered, p.eta_onehot, precision=_PREC)
     dS = dS.at[..., 0].add(rec_to_hist)
 
     nu = evaluate_cubic_spline(
@@ -587,7 +595,7 @@ def seip_ode_ensemble_scatter(t, state: CompartmentState, p: SEIPParams):
     )  # (L,)
     external = pulse[:, None] * p.intro_age_mask * p.pop[None, :]  # (L, A)
     infectious = jnp.sum(I, axis=(1, 2)) + external.T[..., None]  # (A, L, B)
-    mixed = jnp.einsum("ac,clb->alb", p.contact, infectious)  # (A, L, B)
+    mixed = jnp.einsum("ac,clb->alb", p.contact, infectious, precision=_PREC)  # (A, L, B)
     lam = (p.beta[None, :, :] * season / p.pop[:, None, None]) * mixed
 
     ii = 1.0 - (1.0 - p.chi[:, :, None]) * (1.0 - p.vax_eff[:, None, :])
@@ -599,15 +607,15 @@ def seip_ode_ensemble_scatter(t, state: CompartmentState, p: SEIPParams):
     # tensor -- see the scalar RHS note
     new_exposed = (
         lam[:, None, None, :, :]
-        * jnp.einsum("ljkm,ajkmb->ajklb", escape, S)
+        * jnp.einsum("ljkm,ajkmb->ajklb", escape, S, precision=_PREC)
     )  # (A,J,K,L,B): sum over m
-    dS = -jnp.einsum("alb,ljkm->ajkmb", lam, escape) * S  # sum over l
+    dS = -jnp.einsum("alb,ljkm->ajkmb", lam, escape, precision=_PREC) * S  # sum over l
     dE = new_exposed - p.sigma[:, None] * E
     dI = p.sigma[:, None] * E - p.gamma[:, None] * I
     dC = new_exposed
 
     recovered = p.gamma[:, None] * I  # (A,J,K,L,B)
-    rec_to_hist = jnp.einsum("ajklb,jlh->ahkb", recovered, p.eta_onehot)
+    rec_to_hist = jnp.einsum("ajklb,jlh->ahkb", recovered, p.eta_onehot, precision=_PREC)
     dS = dS.at[:, :, :, 0, :].add(rec_to_hist)
 
     nu = evaluate_cubic_spline(
@@ -674,7 +682,7 @@ def seip_ode_ensemble(t, state: CompartmentState, p: SEIPParams):
     )  # (L,)
     external = pulse[:, None] * p.intro_age_mask * p.pop[None, :]  # (L, A)
     infectious = jnp.sum(I, axis=(1, 2)) + external.T[..., None]  # (A, L, B)
-    mixed = jnp.einsum("ac,clb->alb", p.contact, infectious)  # (A, L, B)
+    mixed = jnp.einsum("ac,clb->alb", p.contact, infectious, precision=_PREC)  # (A, L, B)
     lam = (p.beta[None, :, :] * season / p.pop[:, None, None]) * mixed
 
     ii = 1.0 - (1.0 - p.chi[:, :, None]) * (1.0 - p.vax_eff[:, None, :])
@@ -684,15 +692,15 @@ def seip_ode_ensemble(t, state: CompartmentState, p: SEIPParams):
 
     new_exposed = (
         lam[:, None, None, :, :]
-        * jnp.einsum("ljkm,ajkmb->ajklb", escape, S)
+        * jnp.einsum("ljkm,ajkmb->ajklb", escape, S, precision=_PREC)
     )  # (A,J,K,L,B)
-    dS = -jnp.einsum("alb,ljkm->ajkmb", lam, escape) * S
+    dS = -jnp.einsum("alb,ljkm->ajkmb", lam, escape, precision=_PREC) * S
     dE = new_exposed - p.sigma[:, None] * E
     dI = p.sigma[:, None] * E - p.gamma[:, None] * I
     dC = new_exposed
 
     recovered = p.gamma[:, None] * I  # (A,J,K,L,B)
-    rec_to_hist = jnp.einsum("ajklb,jlh->ahkb", recovered, p.eta_onehot)
+    rec_to_hist = jnp.einsum("ajklb,jlh->ahkb", recovered, p.eta_onehot, precision=_PREC)
     # place at wane bin 0: (A,J,K,B) -> (A,J,K,1,B) zero-padded to M
     dS = dS + _pad_axis(rec_to_hist[:, :, :, None, :], 3, 0, M - 1)
 
