@@ -51,7 +51,7 @@ def multistrain_ode(t, state: CompartmentState, p: MultiStrainParams):
     n_age = s + e.sum(axis=-1) + i.sum(axis=-1) + r.sum(axis=-1)
     infectious_frac = i / n_age[:, None]  # (A, K)
     # full-f32 contraction: TPU matmuls default to bf16 MXU passes, a
-    # measured ~2e-3 relative drift on the SEIP path (probe_seip_kernel3);
+    # measured ~2e-3 relative drift on the SEIP path (probes/probe_seip_kernel3.py);
     # these A x A contractions are tiny, so HIGHEST costs nothing
     foi = p.beta[None, :] * jnp.matmul(
         p.contact_matrix, infectious_frac, precision=jax.lax.Precision.HIGHEST

@@ -92,7 +92,7 @@ class SEIPParams(AbstractODEParams):
 
 # full-f32 contractions: TPU einsum/matmul default to bf16 MXU passes --
 # measured ~2e-3 relative drift over 10 days vs an f64 oracle, while the
-# exact-f32 Pallas kernel sits at ~3e-7 (probe_seip_kernel3). These
+# exact-f32 Pallas kernel sits at ~3e-7 (probes/probe_seip_kernel3.py). These
 # contractions are tiny (4x4-ish), so HIGHEST costs nothing measurable.
 _PREC = jax.lax.Precision.HIGHEST
 
