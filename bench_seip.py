@@ -193,12 +193,50 @@ def main():
     def run_lead(seed):
         return lead_fn(draws(seed))
 
+    from dynode_tpu.ops.seip_pallas import seip_ensemble_solve
+
+    def run_kernel(seed):
+        # whole-solve-in-VMEM Pallas kernel (RK4, same dt); saves ALL four
+        # compartments daily (more save traffic than the C-only XLA rows,
+        # still >20x less HBM than their per-stage state round-trips)
+        outs = seip_ensemble_solve(
+            y0, base, draws(seed), duration=DURATION, dt=0.5
+        )
+        return outs[3]
+
+    # member-for-member equivalence gate: kernel vs the XLA batch-leading
+    # Tsit5 solve on the same scales (both f32; tolerance covers RK4-vs-
+    # Tsit5 truncation + 200-day growth amplification of f32 noise)
+    kernel_ok = False
+    try:
+        kc = jax.device_get(run_kernel(0))
+        xc = jax.device_get(lead_fn(draws(0)))
+        import numpy as _np
+
+        kc_l = _np.asarray(kc)[-1]  # (A,J,K,L,B) final day
+        xc_l = _np.moveaxis(_np.asarray(xc)[:, -1], 0, -1)
+        denom = _np.maximum(_np.abs(xc_l), 1.0)
+        mdiff = float(_np.max(_np.abs(kc_l - xc_l) / denom))
+        kernel_ok = mdiff < 2e-2
+        verdict = "OK" if kernel_ok else "FAILED - kernel row skipped"
+        print(
+            f"[bench_seip] kernel equivalence vs XLA: max rel diff "
+            f"{mdiff:.2e} ({verdict})",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench_seip] kernel equivalence check failed: {e}",
+              file=sys.stderr)
+
     results = {}
-    for name, run in (
+    layouts = [
         ("lane-major", run_lane),
         ("lane-major-scatter", run_scatter),
         ("batch-leading", run_lead),
-    ):
+    ]
+    if kernel_ok:
+        layouts.append(("pallas-vmem-kernel", run_kernel))
+    for name, run in layouts:
         try:
             best, compile_s = _time(run)
             results[name] = ENSEMBLE / best
@@ -228,6 +266,28 @@ def main():
         )
     except Exception as e:
         print(f"[bench_seip] wide path failed: {e}", file=sys.stderr)
+    if kernel_ok:
+        try:
+            def run_kernel_wide(seed):
+                scales = jax.random.uniform(
+                    jax.random.PRNGKey(seed), (WIDE_ENSEMBLE,),
+                    minval=0.85, maxval=1.2,
+                )
+                return seip_ensemble_solve(
+                    y0, base, scales, duration=DURATION, dt=0.5
+                )[3]
+
+            best, compile_s = _time(run_kernel_wide)
+            results["pallas-vmem-kernel-wide"] = WIDE_ENSEMBLE / best
+            print(
+                f"[bench_seip] pallas kernel at {WIDE_ENSEMBLE}: "
+                f"{WIDE_ENSEMBLE / best:,.0f} traj/s "
+                f"(compile {compile_s:.0f}s)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"[bench_seip] kernel wide path failed: {e}",
+                  file=sys.stderr)
     if not results:
         print(
             json.dumps(
