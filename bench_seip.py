@@ -42,9 +42,14 @@ from dynode_tpu.models.seip import (
 
 DURATION = 200
 ENSEMBLE = 1024
-# HBM-bound, so width saturation comes early: 15.1k traj/s at B=1024 ->
-# 19.5k at 2048 -> 19.9k at 4096 (v5e-1, batch-leading)
+# XLA path is HBM-bound, so its width saturation comes early: 15.1k traj/s
+# at B=1024 -> 19.5k at 2048 -> ~14-20k at 4096 (v5e-1, batch-leading,
+# tunnel-weather variance ~30%)
 WIDE_ENSEMBLE = 4096
+# The VMEM kernel's only HBM traffic is the save grid, so it keeps scaling
+# far past the XLA knee: 54.6k @4096 -> 72k @8192 -> 122k @16384 -> 156k
+# @32768 (C-only saves; the output buffer ~6.7 GB bounds further width)
+KERNEL_WIDE = 32768
 
 
 def _sync_finite(out):
@@ -196,13 +201,12 @@ def main():
     from dynode_tpu.ops.seip_pallas import seip_ensemble_solve
 
     def run_kernel(seed):
-        # whole-solve-in-VMEM Pallas kernel (RK4, same dt); saves ALL four
-        # compartments daily (more save traffic than the C-only XLA rows,
-        # still >20x less HBM than their per-stage state round-trips)
-        outs = seip_ensemble_solve(
-            y0, base, draws(seed), duration=DURATION, dt=0.5
-        )
-        return outs[3]
+        # whole-solve-in-VMEM Pallas kernel (RK4, same dt); saves only the
+        # cumulative-incidence compartment like the XLA rows -- the output
+        # buffer is the kernel's only HBM traffic and bounds its width
+        return seip_ensemble_solve(
+            y0, base, draws(seed), duration=DURATION, dt=0.5, save=(3,)
+        )[0]
 
     # member-for-member equivalence gate: kernel vs the XLA batch-leading
     # Tsit5 solve on the same scales (both f32; tolerance covers RK4-vs-
@@ -274,8 +278,8 @@ def main():
                     minval=0.85, maxval=1.2,
                 )
                 return seip_ensemble_solve(
-                    y0, base, scales, duration=DURATION, dt=0.5
-                )[3]
+                    y0, base, scales, duration=DURATION, dt=0.5, save=(3,)
+                )[0]
 
             best, compile_s = _time(run_kernel_wide)
             results["pallas-vmem-kernel-wide"] = WIDE_ENSEMBLE / best
@@ -287,6 +291,27 @@ def main():
             )
         except Exception as e:
             print(f"[bench_seip] kernel wide path failed: {e}",
+                  file=sys.stderr)
+        try:
+            def run_kernel_max(seed):
+                scales = jax.random.uniform(
+                    jax.random.PRNGKey(seed), (KERNEL_WIDE,),
+                    minval=0.85, maxval=1.2,
+                )
+                return seip_ensemble_solve(
+                    y0, base, scales, duration=DURATION, dt=0.5, save=(3,)
+                )[0]
+
+            best, compile_s = _time(run_kernel_max)
+            results["pallas-vmem-kernel-max"] = KERNEL_WIDE / best
+            print(
+                f"[bench_seip] pallas kernel at saturating width "
+                f"({KERNEL_WIDE}): {KERNEL_WIDE / best:,.0f} traj/s "
+                f"(compile {compile_s:.0f}s)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"[bench_seip] kernel max-width path failed: {e}",
                   file=sys.stderr)
     if not results:
         print(

@@ -1,0 +1,604 @@
+"""Whole-solve-in-VMEM Pallas kernel for the production SEIP model.
+
+The SEIP ensemble is the one workload where the generic XLA path is far
+from its roofline: each Tsit5 stage round-trips the 640-float state through
+HBM (measured ~20k traj/s at B=4096 on v5e-1, vs a ~67k ceiling even at
+PERFECT stage fusion; see docs/ops.md roofline). This kernel keeps the
+state AND every RK stage resident in VMEM for the entire solve — the only
+HBM traffic is the save grid.
+
+Design (informed by the round-2 multistrain-kernel negative results):
+
+- **Member-tile layout**: each state element is an (8, 128) tile whose
+  sublanes × lanes are 1024 ensemble members; structure dims (age A,
+  immune history J, vax dose K, waning M / strain L) are LEADING dims.
+  Every structural shift (waning chain, dose flows, recovery η, seasonal
+  reset) indexes leading dims only → whole-tile moves, never the
+  sublane-misaligned slices that poisoned the round-2 2-D kernel.
+- **Classic RK4** (not Tsit5): its tableau is diagonal — stage i needs
+  only k_{i-1} — so the live set is 4 state-sized ref groups (y, stage
+  input, k, accumulator) ≈ 10.5 MB at 1024 members, fitting v5e's ~16 MB
+  VMEM. Tsit5's dense tableau needs 6 live stages (~18 MB: does not fit).
+- **Time-dependent coefficients computed on the scalar unit** per stage
+  (seasonal forcing, sin^1000 vaccination-season pulse, introduction
+  pulses, cubic vaccination-uptake splines evaluated with unrolled
+  static-knot arithmetic) — runs concurrently with the VPU tile work.
+- **Static base parameters**: the SEIPParams tensors are host-fetched and
+  baked into the compiled kernel (hashable closure constants); the
+  per-member axis is the transmission scale row, the production-fit
+  parameterization (examples/seip_fit.py). Recompiles when base params
+  change; re-runs with fresh scales hit the jit cache.
+
+Reference counterpart: the model the reference only documents
+(/root/reference/ode_model.md:15-232); RHS semantics match
+``models/seip.py::seip_ode`` (equivalence-tested member-for-member against
+an RK4 lax.scan reference in tests/test_ops/test_seip_pallas.py).
+"""
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB, LANE = 8, 128
+BLOCK = SUB * LANE  # 1024 members per Pallas program
+
+
+def _np_tuple(x):
+    """Host-fetch an array into a nested tuple (hashable static closure)."""
+    arr = np.asarray(jax.device_get(x), dtype=np.float64)
+    if arr.ndim == 0:
+        return float(arr)
+    return tuple(_np_tuple(a) for a in arr)
+
+
+# ---------------------------------------------------------------------------
+# packing helpers: global member g = block*1024 + sub*128 + lane
+#   <-> array position [..., sub, block*128 + lane]
+# ---------------------------------------------------------------------------
+
+
+def pack_members(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., B) member-last -> (..., 8, 128*nb) tile layout."""
+    *lead, B = x.shape
+    nb = B // BLOCK
+    x = x.reshape(*lead, nb, SUB, LANE)
+    x = jnp.moveaxis(x, -3, -2)  # (..., 8, nb, 128)
+    return x.reshape(*lead, SUB, nb * LANE)
+
+
+def unpack_members(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., 8, 128*nb) tile layout -> (..., B) member-last."""
+    *lead, _, nl = x.shape
+    nb = nl // LANE
+    x = x.reshape(*lead, SUB, nb, LANE)
+    x = jnp.moveaxis(x, -2, -3)  # (..., nb, 8, 128)
+    return x.reshape(*lead, nb * SUB * LANE)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel scalar helpers (traced scalar t; static numpy coefficients)
+# ---------------------------------------------------------------------------
+
+
+def _spline_scalar(t, knots, base, kcoef):
+    """Cubic uptake spline at scalar t for one (age, dose): a + bt + ct^2 +
+    dt^3 + sum_i c_i (t - k_i)^3 [t > k_i] (utils/splines.py semantics)."""
+    a, b, c, d = base
+    v = a + b * t + c * t * t + d * t * t * t
+    for kn, cf in zip(knots, kcoef):
+        if cf != 0.0:
+            dt_ = t - kn
+            v = v + cf * jnp.where(dt_ > 0.0, dt_ * dt_ * dt_, 0.0)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _seip_kernel(
+    *refs,
+    P,  # static parameter namespace (nested tuples/floats)
+    dims,  # (A, J, K, M, L)
+    dt: float,
+    n_steps: int,
+    save_stride: int,
+    seasonal: bool,
+    save_mask: Tuple[bool, bool, bool, bool],
+):
+    n_out = sum(save_mask)
+    (s0_ref, e0_ref, i0_ref, c0_ref, scale_ref) = refs[:5]
+    refs_out_saved = refs[5:5 + n_out]
+    (
+        y_S, y_E, y_I, y_C,
+        st_S, st_E, st_I, st_C,
+        k_S, k_E, k_I, k_C,
+        ac_S, ac_E, ac_I, ac_C,
+    ) = refs[5 + n_out:5 + n_out + 16]
+    sem = refs[5 + n_out + 16]
+    A, J, K, M, L = dims
+    blk = pl.program_id(0)
+
+    # static coefficient tables as numpy for closure arithmetic
+    contact = np.asarray(P.contact)  # (A, A)
+    pop = np.asarray(P.pop)  # (A,)
+    beta = np.asarray(P.beta)  # (L,)
+    sigma = np.asarray(P.sigma)
+    gamma = np.asarray(P.gamma)
+    omega = np.asarray(P.omega)  # (M,)
+    escape = np.asarray(P.escape)  # (L, J, K, M)
+    eta_to = P.eta_to  # (J, L) -> target history (static ints)
+    mask = np.asarray(P.intro_age_mask)  # (L, A)
+
+    scale = scale_ref[...]  # (8, 128) per-member transmission scale
+
+    def rhs(dst, src, t):
+        dS, dE, dI, dC = dst
+        S, E, I, C = src
+        # ---- time scalars (scalar unit; VPU-independent) -----------------
+        season = 1.0 + P.season_amp * jnp.cos(
+            2.0 * jnp.pi * (t - P.season_peak) / 365.0
+        )
+        pulses = []
+        for l in range(L):
+            if P.intro_perc[l] != 0.0:
+                z = (t - P.intro_time[l]) / P.intro_scale[l]
+                pulses.append(
+                    P.intro_perc[l]
+                    * jnp.exp(-0.5 * z * z)
+                    / (P.intro_scale[l] * math.sqrt(2.0 * math.pi))
+                )
+            else:
+                pulses.append(None)
+        # clip matches seip_ode's jnp.clip(nu, 0.0, None): a spline segment
+        # dipping negative must not un-vaccinate
+        nu = [
+            [
+                jnp.maximum(
+                    _spline_scalar(
+                        t,
+                        P.vax_knots[a][kk],
+                        P.vax_base_coeffs[a][kk],
+                        P.vax_knot_coeffs[a][kk],
+                    ),
+                    0.0,
+                )
+                for kk in range(K)
+            ]
+            for a in range(A)
+        ]
+        phi = None
+        if seasonal:
+            sphi = jnp.sin(2.0 * jnp.pi * (t + P.seasonal_vax_tau) / 730.0)
+            # exactly the model's sin^1000 pulse (lax.integer_pow is what
+            # jnp lowers s**1000 to, so stage math matches seip_ode)
+            phi = jax.lax.integer_pow(sphi, 1000)
+
+        # ---- force of infection -----------------------------------------
+        # infectious[a][l]: (8,128) = sum_{j,k} I + external intro pulse
+        inf_al = []
+        for a in range(A):
+            row = []
+            for l in range(L):
+                v = jnp.sum(I[a, :, :, l], axis=(0, 1))
+                if pulses[l] is not None and mask[l, a] != 0.0:
+                    v = v + pulses[l] * (mask[l, a] * pop[a])
+                row.append(v)
+            inf_al.append(row)
+        lam = []
+        for a in range(A):
+            row = []
+            for l in range(L):
+                mixed = None
+                for b in range(A):
+                    term = contact[a, b] * inf_al[b][l]
+                    mixed = term if mixed is None else mixed + term
+                row.append((beta[l] / pop[a]) * season * scale * mixed)
+            lam.append(row)
+
+        # ---- S: infection out; E/I/C: exposure chain ---------------------
+        # escape is STATIC host data; Pallas kernels cannot capture traced
+        # constant arrays, so the (L,J,K,M) contraction is unrolled into
+        # scalar-immediate x (8,128)-tile FMAs (J=K=M=L=4 -> cheap).
+        for a in range(A):
+            for j in range(J):
+                for kk in range(K):
+                    # dS[a,j,k,m] = -(sum_l escape[l,j,k,m] lam[a,l]) S
+                    for m in range(M):
+                        coeff = None
+                        for l in range(L):
+                            e = float(escape[l, j, kk, m])
+                            if e == 0.0:
+                                continue
+                            term = e * lam[a][l]
+                            coeff = term if coeff is None else coeff + term
+                        dS[a, j, kk, m] = (
+                            -coeff * S[a, j, kk, m]
+                            if coeff is not None
+                            else jnp.zeros_like(S[a, j, kk, m])
+                        )
+                    # new_exposed[a,j,k,l] =
+                    #     lam[a,l] * sum_m escape[l,j,k,m] S[a,j,k,m]
+                    for l in range(L):
+                        acc = None
+                        for m in range(M):
+                            e = float(escape[l, j, kk, m])
+                            if e == 0.0:
+                                continue
+                            term = e * S[a, j, kk, m]
+                            acc = term if acc is None else acc + term
+                        ne = (
+                            lam[a][l] * acc
+                            if acc is not None
+                            else jnp.zeros_like(lam[a][l])
+                        )
+                        dE[a, j, kk, l] = ne - float(sigma[l]) * E[a, j, kk, l]
+                        dC[a, j, kk, l] = ne
+                        dI[a, j, kk, l] = (
+                            float(sigma[l]) * E[a, j, kk, l]
+                            - float(gamma[l]) * I[a, j, kk, l]
+                        )
+        # recovery into immune history eta(j,l), waning bin m=0
+        for j in range(J):
+            for l in range(L):
+                h = eta_to[j][l]
+                dS[:, h, :, 0] = dS[:, h, :, 0] + gamma[l] * I[:, j, :, l]
+
+        # ---- vaccination uptake (state-dependent saturated rates) --------
+        for a in range(A):
+            for kk in range(K):
+                sbd = jnp.sum(S[a, :, kk, :], axis=(0, 1))  # (8,128)
+                rate = jnp.minimum(
+                    nu[a][kk] * pop[a] / jnp.maximum(sbd, 1e-8), 1.0
+                )
+                if kk < K - 1:
+                    out = rate * S[a, :, kk, :]  # (J,M,8,128)
+                    dS[a, :, kk, :] = dS[a, :, kk, :] - out
+                    dS[a, :, kk + 1, 0] = dS[a, :, kk + 1, 0] + jnp.sum(
+                        out, axis=1
+                    )
+                else:
+                    # top tier: boosting recycles waned (m>0) back to m=0
+                    out = rate * S[a, :, kk, 1:]  # (J,M-1,8,128)
+                    dS[a, :, kk, 1:] = dS[a, :, kk, 1:] - out
+                    dS[a, :, kk, 0] = dS[a, :, kk, 0] + jnp.sum(out, axis=1)
+
+        # ---- seasonal vaccination reset (top tier -> previous tier) ------
+        if seasonal:
+            for X, dX in ((S, dS), (E, dE), (I, dI)):
+                shift = phi * X[:, :, K - 1]
+                dX[:, :, K - 2] = dX[:, :, K - 2] + shift
+                dX[:, :, K - 1] = dX[:, :, K - 1] - shift
+
+        # ---- waning chain m -> m+1 (omega[M-1] == 0) ---------------------
+        for m in range(M - 1):
+            if omega[m] != 0.0:
+                w = omega[m] * S[:, :, :, m]
+                dS[:, :, :, m] = dS[:, :, :, m] - w
+                dS[:, :, :, m + 1] = dS[:, :, :, m + 1] + w
+
+    refs_y = (y_S, y_E, y_I, y_C)
+    refs_st = (st_S, st_E, st_I, st_C)
+    refs_k = (k_S, k_E, k_I, k_C)
+    refs_ac = (ac_S, ac_E, ac_I, ac_C)
+    refs_in = (s0_ref, e0_ref, i0_ref, c0_ref)
+    # selective saves: unsaved compartments never touch HBM at all -- the
+    # (n_saves x state x B) output buffer is what bounds ensemble width
+    # (all-4 daily saves at B=16384 is ~13.5 GB, over v5e HBM)
+    refs_y_saved = tuple(
+        y for y, m in zip(refs_y, save_mask) if m
+    )
+
+    for y, src in zip(refs_y, refs_in):
+        y[...] = src[...]
+
+    def save(slot):
+        for y, out in zip(refs_y_saved, refs_out_saved):
+            dma = pltpu.make_async_copy(
+                y,
+                out.at[slot, :, :, :, :, :, pl.ds(blk * LANE, LANE)],
+                sem,
+            )
+            dma.start()
+            dma.wait()
+
+    save(0)
+
+    def body(step, _):
+        t = step * dt
+        # RK4: k1 (src refs are indexed slice-wise inside rhs, keeping
+        # VMEM temporaries small)
+        rhs(refs_k, refs_y, t)
+        for ac, k in zip(refs_ac, refs_k):
+            ac[...] = k[...]
+        for st, y, k in zip(refs_st, refs_y, refs_k):
+            st[...] = y[...] + (0.5 * dt) * k[...]
+        # k2
+        rhs(refs_k, refs_st, t + 0.5 * dt)
+        for ac, k in zip(refs_ac, refs_k):
+            ac[...] = ac[...] + 2.0 * k[...]
+        for st, y, k in zip(refs_st, refs_y, refs_k):
+            st[...] = y[...] + (0.5 * dt) * k[...]
+        # k3
+        rhs(refs_k, refs_st, t + 0.5 * dt)
+        for ac, k in zip(refs_ac, refs_k):
+            ac[...] = ac[...] + 2.0 * k[...]
+        for st, y, k in zip(refs_st, refs_y, refs_k):
+            st[...] = y[...] + dt * k[...]
+        # k4
+        rhs(refs_k, refs_st, t + dt)
+        for ac, k in zip(refs_ac, refs_k):
+            ac[...] = ac[...] + k[...]
+        for y, ac in zip(refs_y, refs_ac):
+            y[...] = y[...] + (dt / 6.0) * ac[...]
+
+        @pl.when((step + 1) % save_stride == 0)
+        def _():
+            save((step + 1) // save_stride)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, body, 0)
+
+
+class _StaticParams:
+    """Hashable namespace of host-fetched SEIP parameters."""
+
+    _FIELDS = (
+        "beta", "sigma", "gamma", "contact", "pop", "season_amp",
+        "season_peak", "intro_time", "intro_scale", "intro_perc",
+        "intro_age_mask", "vax_knots", "vax_base_coeffs", "vax_knot_coeffs",
+        "seasonal_vax_tau", "omega", "escape", "eta_to",
+    )
+
+    def __init__(self, **kw):
+        for f in self._FIELDS:
+            setattr(self, f, kw[f])
+
+    def _key(self):
+        return tuple(getattr(self, f) for f in self._FIELDS)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticParams) and self._key() == other._key()
+
+
+def _static_params(p) -> Tuple[_StaticParams, Tuple[int, ...], bool]:
+    """Host-fetch a SEIPParams pytree into the kernel's static namespace."""
+    L, J = np.asarray(jax.device_get(p.chi)).shape
+    A = np.asarray(jax.device_get(p.pop)).shape[0]
+    K = np.asarray(jax.device_get(p.vax_eff)).shape[1]
+    M = np.asarray(jax.device_get(p.omega)).shape[0]
+
+    chi = np.asarray(jax.device_get(p.chi))
+    vax_eff = np.asarray(jax.device_get(p.vax_eff))
+    base_prot = np.asarray(jax.device_get(p.base_protection))
+    min_hom = float(jax.device_get(p.min_homologous))
+    hist_mask = np.asarray(jax.device_get(p.hist_mask))
+    # layered immunity -> susceptibility multiplier (models/seip.py:126-133)
+    ii = 1.0 - (1.0 - chi[:, :, None]) * (1.0 - vax_eff[:, None, :])
+    wib = ii[..., None] * base_prot  # (L,J,K,M)
+    fi = (min_hom * hist_mask)[:, :, None, None]
+    escape = 1.0 - (wib + (1.0 - wib) * fi)
+
+    eta = np.asarray(jax.device_get(p.eta_onehot))  # (J,L,J)
+    # the kernel routes recovery with static target indices; that is only
+    # equivalent to the model's one-hot contraction when eta is STRICTLY
+    # one-hot (it is for the bitwise-OR transition, ode_model.md:100-118)
+    if not (
+        np.all(np.isin(eta, (0.0, 1.0)))
+        and np.all(eta.sum(axis=-1) == 1.0)
+    ):
+        raise ValueError(
+            "seip_pallas requires a strictly one-hot eta_onehot transition"
+        )
+    eta_to = tuple(
+        tuple(int(np.argmax(eta[j, l])) for l in range(L)) for j in range(J)
+    )
+
+    P = _StaticParams(
+        beta=_np_tuple(p.beta),
+        sigma=_np_tuple(p.sigma),
+        gamma=_np_tuple(p.gamma),
+        contact=_np_tuple(p.contact),
+        pop=_np_tuple(p.pop),
+        season_amp=float(jax.device_get(p.season_amp)),
+        season_peak=float(jax.device_get(p.season_peak)),
+        intro_time=_np_tuple(p.intro_time),
+        intro_scale=_np_tuple(p.intro_scale),
+        intro_perc=_np_tuple(p.intro_perc),
+        intro_age_mask=_np_tuple(p.intro_age_mask),
+        vax_knots=_np_tuple(p.vax_knots),
+        vax_base_coeffs=_np_tuple(p.vax_base_coeffs),
+        vax_knot_coeffs=_np_tuple(p.vax_knot_coeffs),
+        seasonal_vax_tau=float(jax.device_get(p.seasonal_vax_tau)),
+        omega=_np_tuple(p.omega),
+        escape=_np_tuple(escape),
+        eta_to=eta_to,
+    )
+    return P, (A, J, K, M, L), bool(p.seasonal_vaccination)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "P", "dims", "seasonal", "duration", "dt", "save_every", "save_mask"
+    ),
+)
+def _solve(
+    y0_packed, scales_packed, *, P, dims, seasonal, duration, dt, save_every,
+    save_mask,
+):
+    A, J, K, M, L = dims
+    n_steps = int(round(duration / dt))
+    save_stride = int(round(save_every / dt))
+    n_saves = n_steps // save_stride + 1
+    s0, e0, i0, c0 = y0_packed
+    nl = scales_packed.shape[-1]
+
+    shape_S = (A, J, K, M, SUB, LANE)
+    shape_E = (A, J, K, L, SUB, LANE)
+    comp_shapes = (shape_S, shape_E, shape_E, shape_E)
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_saves,) + s[:-1] + (nl,), jnp.float32)
+        for s, m in zip(comp_shapes, save_mask)
+        if m
+    ]
+    kernel = functools.partial(
+        _seip_kernel,
+        P=P,
+        dims=dims,
+        dt=dt,
+        n_steps=n_steps,
+        save_stride=save_stride,
+        seasonal=seasonal,
+        save_mask=save_mask,
+    )
+    grid = (nl // LANE,)
+    const_spec = [
+        pl.BlockSpec(
+            s, lambda i, n=len(s): (0,) * n, memory_space=pltpu.VMEM
+        )
+        for s in comp_shapes
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=const_spec
+        + [
+            pl.BlockSpec((SUB, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shapes),
+        scratch_shapes=[
+            pltpu.VMEM(shape_S, jnp.float32),
+            pltpu.VMEM(shape_E, jnp.float32),
+            pltpu.VMEM(shape_E, jnp.float32),
+            pltpu.VMEM(shape_E, jnp.float32),
+        ]
+        * 4
+        + [pltpu.SemaphoreType.DMA],
+    )(s0, e0, i0, c0, scales_packed)
+    return outs
+
+
+def seip_ensemble_solve(
+    y0,
+    params,
+    beta_scales,
+    *,
+    duration: float,
+    dt: float = 0.5,
+    save_every: float = 1.0,
+    save: Tuple[int, ...] = (0, 1, 2, 3),
+):
+    """Solve a B-wide SEIP ensemble fully inside one Pallas kernel.
+
+    ``beta_scales``: (B,) per-member transmission scaling (B a multiple of
+    1024). Returns lane-major saves for the compartments in ``save``
+    (ascending indices into (S, E, I, C)), each shaped
+    ``(T, *compartment_shape, B)``. Restricting ``save`` matters at width:
+    the output buffer is the kernel's ONLY HBM traffic, and all-compartment
+    daily saves hit HBM capacity near B=16k (save=(3,) quarters it). Base
+    parameters are host-fetched and compiled in (see module docstring).
+    Falls back to :func:`seip_solve_reference` off-TPU.
+    """
+    save = tuple(sorted(set(int(i) for i in save)))
+    assert save and all(0 <= i < 4 for i in save), save
+    B = int(beta_scales.shape[0])
+    if jax.default_backend() not in ("tpu",):
+        outs = seip_solve_reference(
+            y0, params, beta_scales, duration=duration, dt=dt,
+            save_every=save_every,
+        )
+        return tuple(outs[i] for i in save)
+    assert B % BLOCK == 0, f"batch must be a multiple of {BLOCK}"
+    P, dims, seasonal = _static_params(params)
+    y0_packed = tuple(
+        pack_members(
+            jnp.broadcast_to(
+                jnp.asarray(c, jnp.float32)[..., None], c.shape + (B,)
+            )
+        )
+        for c in y0
+    )
+    scales_packed = pack_members(jnp.asarray(beta_scales, jnp.float32))
+    outs = _solve(
+        y0_packed,
+        scales_packed,
+        P=P,
+        dims=dims,
+        seasonal=seasonal,
+        duration=float(duration),
+        dt=float(dt),
+        save_every=float(save_every),
+        save_mask=tuple(i in save for i in range(4)),
+    )
+    return tuple(unpack_members(o) for o in outs)
+
+
+def seip_solve_reference(
+    y0, params, beta_scales, *, duration, dt=0.5, save_every=1.0
+):
+    """RK4 lax.scan reference with identical stage math (batch-leading),
+    for correctness diffing and CPU fallback. Returns lane-major saves."""
+    from ..models.seip import seip_ode
+
+    n_steps = int(round(duration / dt))
+    stride = int(round(save_every / dt))
+
+    def solve_one(scale):
+        p = params.replace(beta=params.beta * scale)
+
+        def rk4(y, t):
+            k1 = seip_ode(t, y, p)
+            y2 = tuple(a + 0.5 * dt * b for a, b in zip(y, k1))
+            k2 = seip_ode(t + 0.5 * dt, y2, p)
+            y3 = tuple(a + 0.5 * dt * b for a, b in zip(y, k2))
+            k3 = seip_ode(t + 0.5 * dt, y3, p)
+            y4 = tuple(a + dt * b for a, b in zip(y, k3))
+            k4 = seip_ode(t + dt, y4, p)
+            return tuple(
+                a + (dt / 6.0) * (b1 + 2 * b2 + 2 * b3 + b4)
+                for a, b1, b2, b3, b4 in zip(y, k1, k2, k3, k4)
+            )
+
+        def outer(y, i):
+            def inner(yy, j):
+                t = (i * stride + j) * dt
+                return rk4(yy, t), None
+
+            y, _ = jax.lax.scan(inner, y, jnp.arange(stride))
+            return y, y
+
+        fdt = jnp.result_type(float)  # f64 under x64 (CPU tests), else f32
+        y0f = tuple(jnp.asarray(c, fdt) for c in y0)
+        _, saves = jax.lax.scan(
+            outer, y0f, jnp.arange(n_steps // stride)
+        )
+        return tuple(
+            jnp.concatenate([c[None], s], axis=0) for c, s in zip(y0f, saves)
+        )
+
+    outs = jax.jit(jax.vmap(solve_one, out_axes=tuple([-1] * 4)))(
+        jnp.asarray(beta_scales, jnp.result_type(float))
+    )
+    return outs
+
+
+__all__ = [
+    "seip_ensemble_solve",
+    "seip_solve_reference",
+    "pack_members",
+    "unpack_members",
+    "BLOCK",
+]

@@ -9,6 +9,8 @@ Measures (fetch-synced, fresh draws per repeat):
 at 10k and 40k widths.
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path shim)
+
 import time
 
 import jax

@@ -1,3 +1,5 @@
+
+import _bootstrap  # noqa: F401  (repo-root sys.path shim)
 import time
 import jax
 import jax.numpy as jnp

@@ -8,6 +8,8 @@ Decomposition at 4096/8192 chains on the multistrain fit (VERDICT r2 #10):
                dispatch; warmup additionally pays Welford/Adam updates)
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path shim)
+
 import time
 
 import jax
@@ -36,7 +38,7 @@ for n_chains in (4096, 8192):
         num_samples=100,
         num_chains=n_chains,
         progress_bar=False,
-        steps_per_call=100,  # one chunk per phase: dispatch cost amortized
+        steps_per_call=25,  # 4 dispatches/phase (watchdog-safe, amortized)
     )
     t0 = time.perf_counter()
     mcmc.run(jax.random.PRNGKey(1), obs=obs)

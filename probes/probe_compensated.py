@@ -7,6 +7,8 @@ as TPU for these elementwise chains); TPU throughput cost is measured by
 probe_compensated_tpu.py.
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path shim)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

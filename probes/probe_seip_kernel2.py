@@ -1,4 +1,6 @@
 """Diagnose kernel-vs-reference divergence: per-day error growth, B=1024."""
+
+import _bootstrap  # noqa: F401  (repo-root sys.path shim)
 import time
 
 import jax

@@ -4,6 +4,8 @@ Hypothesis: the XLA path's einsum/matmul contractions default to bf16 on the
 TPU MXU, so the REFERENCE is the imprecise one and the kernel (exact f32
 VPU) is closer to truth.
 """
+
+import _bootstrap  # noqa: F401  (repo-root sys.path shim)
 import os
 import pickle
 import subprocess

@@ -6,6 +6,8 @@ to decide whether the constant-step SEIP ensemble is bandwidth- or
 compute-bound, and what a whole-solve VMEM kernel could recover.
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path shim)
+
 import time
 
 import jax

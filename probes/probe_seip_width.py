@@ -6,6 +6,8 @@
 2. Where does the Pallas kernel saturate? Sweep 4096 -> 16384 members.
 """
 
+import _bootstrap  # noqa: F401  (repo-root sys.path shim)
+
 import time
 
 import jax
@@ -66,16 +68,26 @@ for prec_name, prec in (
     ("HIGHEST", jax.lax.Precision.HIGHEST),
     ("DEFAULT", jax.lax.Precision.DEFAULT),
 ):
-    seip_mod._PREC = prec
-    tps = time_fn(make_lead(), 4096)
-    print(f"batch-leading B=4096 precision={prec_name}: {tps:,.0f} traj/s",
-          flush=True)
+    try:
+        seip_mod._PREC = prec
+        tps = time_fn(make_lead(), 4096)
+        print(f"batch-leading B=4096 precision={prec_name}: {tps:,.0f} traj/s",
+              flush=True)
+    except Exception as e:
+        print(f"batch-leading precision={prec_name} FAILED: {type(e).__name__}",
+              flush=True)
 seip_mod._PREC = jax.lax.Precision.HIGHEST
 
-# --- 2: kernel width sweep ---------------------------------------------------
-for n in (4096, 8192, 16384):
+# --- 2: kernel width sweep (C-only saves: output buffer bounds width) -------
+for n in (4096, 8192, 16384, 32768):
     def run_kernel(d):
-        return seip_ensemble_solve(y0, base, d, duration=DURATION, dt=0.5)[3]
+        return seip_ensemble_solve(
+            y0, base, d, duration=DURATION, dt=0.5, save=(3,)
+        )[0]
 
-    tps = time_fn(run_kernel, n)
-    print(f"pallas kernel B={n}: {tps:,.0f} traj/s", flush=True)
+    try:
+        tps = time_fn(run_kernel, n)
+        print(f"pallas kernel B={n}: {tps:,.0f} traj/s", flush=True)
+    except Exception as e:
+        print(f"pallas kernel B={n} FAILED: {type(e).__name__}: {e}"[:200],
+              flush=True)
