@@ -32,17 +32,21 @@ def _sync(x):
 
 
 for n_chains in (4096, 8192):
-    mcmc = MCMC(
-        ChEES(model),
-        num_warmup=100,
-        num_samples=100,
-        num_chains=n_chains,
-        progress_bar=False,
-        steps_per_call=25,  # 4 dispatches/phase (watchdog-safe, amortized)
-    )
-    t0 = time.perf_counter()
-    mcmc.run(jax.random.PRNGKey(1), obs=obs)
-    wall = time.perf_counter() - t0
+    def run_once(seed):
+        mcmc = MCMC(
+            ChEES(model),
+            num_warmup=100,
+            num_samples=100,
+            num_chains=n_chains,
+            progress_bar=False,
+            steps_per_call=25,  # 4 dispatches/phase (watchdog-safe)
+        )
+        t0 = time.perf_counter()
+        mcmc.run(jax.random.PRNGKey(seed), obs=obs)
+        return time.perf_counter() - t0, mcmc
+
+    cold, _ = run_once(1)  # includes warmup+sampling compiles
+    wall, mcmc = run_once(2)  # warm: in-process jit cache, steady state
     ns = np.asarray(mcmc.get_extra_fields(group_by_chain=True)["num_steps"])
     mean_lf = float(ns.mean())
 
@@ -79,7 +83,8 @@ for n_chains in (4096, 8192):
     per_tr = wall / 200.0
     lf_share = mean_lf * unit
     print(
-        f"chains={n_chains}: total wall {wall:.1f}s -> {per_tr * 1e3:.1f} ms/"
+        f"chains={n_chains}: cold {cold:.1f}s, "
+        f"warm wall {wall:.1f}s -> {per_tr * 1e3:.1f} ms/"
         f"transition; mean leapfrogs {mean_lf:.1f} x unit {unit * 1e3:.2f} ms"
         f" = {lf_share * 1e3:.1f} ms ({100 * lf_share / per_tr:.0f}%); "
         f"residual {1e3 * (per_tr - lf_share):.1f} ms "
