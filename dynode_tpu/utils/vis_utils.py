@@ -187,8 +187,10 @@ def plot_checkpoint_inference_correlation_pairs(
 
     ``posteriors_in`` values are (num_chains, num_samples[, *plate]); plated
     sites are flattened to ``name_i`` entries and ``timestep`` sites dropped
-    (reference: src/dynode/utils/vis_utils.py:258-387). Set
-    ``max_samples_calculated=-1`` to disable the per-chain subsample cap.
+    (reference: src/dynode/utils/vis_utils.py:258-387). Correlations,
+    regression lines, and histograms use the FULL posterior; the
+    ``max_samples_calculated`` per-chain cap only thins the rendered
+    scatter points (set ``-1`` to draw every draw).
     """
     plt = _plt()
     from matplotlib.colors import LinearSegmentedColormap
@@ -201,12 +203,16 @@ def plot_checkpoint_inference_correlation_pairs(
     if not names:
         raise VisualizationError("no posterior sites to correlate")
     num_samples = posteriors[names[0]].shape[1]
+    cols = {k: np.asarray(m).flatten() for k, m in posteriors.items()}
     if max_samples_calculated != -1 and num_samples > max_samples_calculated:
         pick = np.random.choice(
             num_samples, size=max_samples_calculated, replace=False
         )
-        posteriors = {k: m[:, pick] for k, m in posteriors.items()}
-    cols = {k: np.asarray(m).flatten() for k, m in posteriors.items()}
+        scatter_cols = {
+            k: np.asarray(m[:, pick]).flatten() for k, m in posteriors.items()
+        }
+    else:
+        scatter_cols = cols
     n = len(names)
     label_size = max(2, min(10, 200 / n))
     mat = np.stack([cols[k] for k in names])
@@ -226,8 +232,11 @@ def plot_checkpoint_inference_correlation_pairs(
             if i == j:
                 ax.hist(cols[names[i]], bins=20, density=True)
             elif i > j:
+                ax.scatter(
+                    scatter_cols[names[j]], scatter_cols[names[i]],
+                    s=0.5, alpha=0.2,
+                )
                 x, y = cols[names[j]], cols[names[i]]
-                ax.scatter(x, y, s=0.5, alpha=0.2)
                 slope, intercept = np.polyfit(x, y, 1)
                 xs = np.linspace(x.min(), x.max(), 16)
                 ax.plot(xs, slope * xs + intercept, color=color, lw=1)

@@ -131,6 +131,21 @@ class TestCorrelationPairs:
         scatter_ax = fig.axes[2]
         assert scatter_ax.collections[0].get_offsets().shape[0] == 20
 
+    def test_correlation_uses_full_posterior_despite_scatter_cap(self):
+        # the cap thins only the RENDERED points; the annotated correlation
+        # must come from all draws (a 10-draw subsample of this posterior
+        # would give a visibly different r than the full 2x2000)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 2000))
+        y = 0.6 * x + 0.8 * rng.standard_normal((2, 2000))
+        full_r = np.corrcoef(x.ravel(), y.ravel())[0, 1]
+        fig = vis_utils.plot_checkpoint_inference_correlation_pairs(
+            {"a": x, "b": y}, max_samples_calculated=10
+        )
+        upper_ax = fig.axes[1]
+        shown = float(upper_ax.texts[0].get_text())
+        assert abs(shown - full_r) < 0.006  # annotation rounds to 2 dp
+
     def test_correlation_annotation_present(self):
         x = np.random.rand(2, 50)
         post = {"a": x, "b": 2 * x + 0.01 * np.random.rand(2, 50)}
