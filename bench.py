@@ -356,6 +356,83 @@ def main():
     except Exception as e:
         print(f"[bench] cpu adaptive baseline failed: {e}", file=sys.stderr)
 
+    # ---- production SEIP model row (round-3 VMEM kernel headline) -------
+    # The 640-float-state SEIP model is HBM-bound on the XLA path (knee at
+    # ~4k members); the whole-solve-in-VMEM Pallas kernel keeps scaling
+    # (54.6k/72k/122k/156k traj/s at 4k/8k/16k/32k). Gate on member-for-
+    # member equivalence at B=1024 before reporting (bench_seip.py has the
+    # full layout sweep; this row makes the win driver-visible).
+    seip_tps = 0.0
+    seip_xla_tps = 0.0
+    try:
+        import numpy as np
+
+        from dynode_tpu.models.seip import (
+            seip_config,
+            seip_initial_state,
+            seip_ode,
+            seip_odeparams,
+        )
+        from dynode_tpu.ops.seip_pallas import seip_ensemble_solve
+
+        seip_cfg = seip_config(
+            seasonal_vaccination=True,
+            solver_params=SolverParams(constant_step_size=0.5),
+        )
+        seip_base = seip_odeparams(seip_cfg)
+        seip_y0 = seip_initial_state(seip_cfg)
+
+        def seip_scales(n, seed):
+            return jax.random.uniform(
+                jax.random.PRNGKey(seed), (n,), minval=0.85, maxval=1.2
+            )
+
+        def seip_solve_one(scale):
+            p = seip_base.replace(beta=seip_base.beta * scale)
+            sol = simulate(
+                seip_ode, 200, seip_y0, p,
+                seip_cfg.parameters.solver_params, sub_save_indices=(3,),
+            )
+            return sol.ys[3]
+
+        seip_lead = jax.jit(jax.vmap(seip_solve_one))
+
+        def seip_kernel(n, seed):
+            return seip_ensemble_solve(
+                seip_y0, seip_base, seip_scales(n, seed),
+                duration=200, dt=0.5, save=(3,),
+            )[0]
+
+        # equivalence gate at B=1024 (kernel RK4 vs XLA Tsit5, same scales)
+        kc = np.asarray(jax.device_get(seip_kernel(1024, 0)))[-1]
+        xc = np.moveaxis(
+            np.asarray(jax.device_get(seip_lead(seip_scales(1024, 0))))[:, -1],
+            0, -1,
+        )
+        mdiff = float(
+            np.max(np.abs(kc - xc) / np.maximum(np.abs(xc), 1.0))
+        )
+        if mdiff > 2e-2:
+            raise RuntimeError(f"kernel equivalence failed ({mdiff:.2e})")
+        t0 = time.perf_counter()
+        _sync(seip_lead(seip_scales(1024, 1)))
+        seip_xla_tps = 1024 / (time.perf_counter() - t0)
+        best = float("inf")
+        _sync(seip_kernel(16384, 1))  # compile at headline width
+        for rep in range(2):
+            t0 = time.perf_counter()
+            _sync(seip_kernel(16384, rep + 2))
+            best = min(best, time.perf_counter() - t0)
+        seip_tps = 16384 / best
+        print(
+            f"[bench] SEIP VMEM kernel (B=16384, C-only saves): "
+            f"{seip_tps:,.0f} traj/s (equivalence {mdiff:.2e}; XLA "
+            f"batch-leading at 1024: {seip_xla_tps:,.0f})",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] SEIP kernel row failed: {e}", file=sys.stderr)
+
     # ---- second half of the BASELINE.md headline: NUTS/ChEES ESS per sec
     # and the matched-quality north-star ratio, folded into the same JSON
     # artifact the driver captures (VERDICT round 2, item 3) -------------
@@ -372,9 +449,7 @@ def main():
         obs = jax.random.poisson(
             jax.random.PRNGKey(0), jnp.maximum(jnp.diff(c, axis=0), 1e-6)
         )
-        ess_per_sec, chees_post = bench_nuts.bench_chees(
-            model, obs, num_chains=1024
-        )
+        ess_per_sec, chees_post = bench_nuts.bench_chees(model, obs)
         drift = float(np.max(np.abs(chees_post - np.asarray(true_scales))))
         if drift > 0.05:
             print(
@@ -402,6 +477,8 @@ def main():
                 "traj_per_sec_adaptive": round(adaptive_tps, 1),
                 "ess_per_sec": round(ess_per_sec, 1),
                 "matched_quality_speedup": round(matched_quality, 1),
+                "seip_traj_per_sec": round(seip_tps, 1),
+                "seip_traj_per_sec_xla_1k": round(seip_xla_tps, 1),
             }
         )
     )

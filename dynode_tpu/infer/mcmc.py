@@ -16,11 +16,14 @@ TPU-first differences from numpyro's host-loop design:
 
 import math
 import warnings
+from collections import OrderedDict
 from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from jax.flatten_util import ravel_pytree
 
 from ..parallel import create_mesh, shard_batch
 from . import handlers
@@ -80,6 +83,66 @@ def _as_custom_vmap_potential(batched_pot):
         return batched_pot_and_grad(zb), (True, True)
 
     return pot_and_grad
+
+
+_EXEC_CACHE: "OrderedDict[tuple, dict]" = OrderedDict()
+_EXEC_CACHE_SIZE = 8
+
+
+def _kernel_token(kern) -> tuple:
+    """Hashable fingerprint of everything a kernel bakes into its programs."""
+    common = (
+        type(kern).__name__,
+        kern.dense_mass,
+        kern.target_accept_prob,
+        id(kern.init_strategy),
+        kern.step_size,
+        kern.adapt_step_size,
+        kern.adapt_mass_matrix,
+        kern.center_potential,
+        id(kern.batched_potential_fn)
+        if kern.batched_potential_fn is not None
+        else None,
+    )
+    if isinstance(kern, ChEES):
+        return common + (
+            kern.trajectory_length, kern.max_num_steps, kern.adapt_lr
+        )
+    return common + (kern.max_tree_depth,)
+
+
+def _exec_cache_entry(key: tuple, model, leaves) -> dict:
+    """Fetch-or-create the cross-run executable cache entry for ``key``.
+
+    Profiling on the v5e tunnel (probes/probe_chees_profile*.py) showed a
+    "warm" 4096-chain ChEES run spending ~140 s re-tracing and
+    re-compiling its 4 bank programs against ~25 s of device compute:
+    every ``MCMC.run`` used to build fresh closures, so even the second
+    run of the identical fit missed the in-process jit cache entirely.
+    This registry keys trace-derived objects (transforms, centers, the
+    flattened potential) and the jitted phase programs on everything that
+    is baked into them -- kernel configuration, run shape, and the
+    IDENTITY of the model and of every array argument (arrays are closed
+    over as compiled constants, so value-equality is not enough to prove
+    reuse safe, and identity is what repeated fits in a session actually
+    pass). Entries hold strong references to ``model``/``leaves`` both to
+    pin those ids against recycling and to double-check hits with ``is``.
+    """
+    entry = _EXEC_CACHE.get(key)
+    if (
+        entry is not None
+        and entry["model"] is model
+        and len(entry["leaves"]) == len(leaves)
+        and all(a is b for a, b in zip(entry["leaves"], leaves))
+    ):
+        _EXEC_CACHE.move_to_end(key)
+        return entry
+    entry = {"model": model, "leaves": list(leaves), "jits": {}}
+    _EXEC_CACHE[key] = entry
+    _EXEC_CACHE.move_to_end(key)
+    while len(_EXEC_CACHE) > _EXEC_CACHE_SIZE:
+        _EXEC_CACHE.popitem(last=False)
+    return entry
 
 
 class NUTS:
@@ -368,13 +431,22 @@ class MCMC:
 
     def _run_chunked(self, pot_and_grad, D, dtype, z0s, chain_keys):
         n = int(self.steps_per_call)
-        init_chain, warm_segment, sample_segment = self._parts(
-            pot_and_grad, D, dtype
-        )
-        carry = jax.jit(jax.vmap(init_chain))(z0s, chain_keys)
+        jits = self._exec["jits"]
+        if "nuts_chunked" not in jits:
+            init_chain, warm_segment, sample_segment = self._parts(
+                pot_and_grad, D, dtype
+            )
+            jits["nuts_chunked"] = (
+                jax.jit(jax.vmap(init_chain)),
+                jax.jit(jax.vmap(warm_segment, in_axes=(0, None))),
+                jax.jit(
+                    jax.vmap(sample_segment, in_axes=(0, 0, 0, 0, None))
+                ),
+            )
+        init_jit, warm_jit, sample_jit = jits["nuts_chunked"]
+        carry = init_jit(z0s, chain_keys)
 
         flags, n_chunks = self._padded_warmup_flags(n)
-        warm_jit = jax.jit(jax.vmap(warm_segment, in_axes=(0, None)))
         for start in range(0, n_chunks * n, n):
             chunk = jnp.asarray(flags[start : start + n])
             carry = warm_jit(carry, chunk)
@@ -393,7 +465,6 @@ class MCMC:
         # fixed-size sampling chunks (single compiled program); the last
         # chunk may overshoot num_samples -- extra valid draws are sliced
         # off below (cheaper than compiling a second remainder program)
-        sample_jit = jax.jit(jax.vmap(sample_segment, in_axes=(0, 0, 0, 0, None)))
         dummy = jnp.arange(n)
         chunks = []
         for _start in range(0, self.num_samples, n):
@@ -490,9 +561,17 @@ class MCMC:
                 "trajectory_length, or switch to the NUTS kernel.",
                 stacklevel=3,
             )
-        init_bank, warm_segment, sample_segment = make_chees_parts(
-            kern, pot_and_grad, D, dtype
-        )
+        jits = self._exec["jits"]
+        if "chees" not in jits:
+            init_bank, warm_segment, sample_segment = make_chees_parts(
+                kern, pot_and_grad, D, dtype
+            )
+            jits["chees"] = (
+                jax.jit(init_bank),
+                jax.jit(warm_segment),
+                jax.jit(sample_segment),
+            )
+        init_jit, warm_jit, sample_jit = jits["chees"]
         if self.steps_per_call:
             n_warm = n_samp = int(self.steps_per_call)
         else:
@@ -509,12 +588,11 @@ class MCMC:
             # depend on the rng-traced latents, so the saved potential values
             # are shifted by a run-specific constant -- comparing energies
             # across that shift rejects every proposal
-            pe, grad = jax.jit(jax.vmap(pot_and_grad))(state.z)
+            pe, grad = self._exec["check"](state.z)
             state = state._replace(potential=pe, grad=grad, rng_key=key_run)
         else:
-            carry = jax.jit(init_bank)(z0s, key_run)
+            carry = init_jit(z0s, key_run)
             flags, n_chunks = self._padded_warmup_flags(n_warm)
-            warm_jit = jax.jit(warm_segment)
             for start in range(0, n_chunks * n_warm, n_warm):
                 chunk = jnp.asarray(flags[start : start + n_warm])
                 carry = warm_jit(carry, chunk)
@@ -531,7 +609,6 @@ class MCMC:
             else:
                 traj = jnp.maximum(jnp.exp(ts.log_t_avg), eps)
 
-        sample_jit = jax.jit(sample_segment)
         dummy = jnp.arange(n_samp)
         chunks = []
         for _start in range(0, self.num_samples, n_samp):
@@ -617,70 +694,113 @@ class MCMC:
         self._model_kwargs = kwargs
         model = self.kernel.model
 
-        key_struct, key_init, key_run = jax.random.split(rng_key, 3)
-        tr = get_model_trace(model, key_struct, *args, **kwargs)
-        if not latent_sites(tr):
-            raise ValueError("model has no latent sample sites to infer")
-        transforms = get_transforms(tr)
-        self._transforms = transforms
-
-        centers = (
-            observed_logprob_centers(tr) if self.kernel.center_potential else None
+        # cross-run executable cache: everything below (trace, transforms,
+        # centers, flattened potential, jitted phase programs) is baked
+        # into compiled constants, so it can be reused verbatim whenever
+        # the kernel config, run shape, and the identity of the model and
+        # every array argument match (see _exec_cache_entry). Centers are
+        # rng-derived constants -- reusing a previous run's shifts every
+        # potential by the same per-site constant, which chains and
+        # diagnostics are invariant to.
+        leaves, treedef = jax.tree_util.tree_flatten((args, kwargs))
+        cache_key = (
+            id(model),
+            _kernel_token(self.kernel),
+            self.num_warmup,
+            self.num_samples,
+            self.num_chains,
+            self.steps_per_call,
+            self.chain_method,
+            id(self.mesh),
+            self.chain_axis,
+            treedef,
+            tuple(id(x) for x in leaves),
         )
+        self._exec = _exec_cache_entry(cache_key, model, leaves)
+
+        key_struct, key_init, key_run = jax.random.split(rng_key, 3)
+        if "pot_and_grad" not in self._exec:
+            tr = get_model_trace(model, key_struct, *args, **kwargs)
+            if not latent_sites(tr):
+                raise ValueError("model has no latent sample sites to infer")
+            transforms = get_transforms(tr)
+            centers = (
+                observed_logprob_centers(tr)
+                if self.kernel.center_potential
+                else None
+            )
+            init_strategy = self.kernel.init_strategy
+
+            def _flat_init(key):
+                c_constrained = initialize_latents(tr, key, init_strategy)
+                c_unconstrained = unconstrain_sample(
+                    transforms, c_constrained
+                )
+                return ravel_pytree(c_unconstrained)[0]
+
+            # one example init builds the unravel closure and the flat
+            # potential; the per-chain inits are ONE vmapped program (the
+            # old 1-chain-per-Python-iteration loop was seconds of host
+            # dispatch at 4096 chains)
+            c0 = initialize_latents(tr, key_struct, init_strategy)
+            u0 = unconstrain_sample(transforms, c0)
+            flat_pot, _, unravel = flatten_potential(
+                make_potential_fn(
+                    model, args, kwargs, transforms, centers=centers
+                ),
+                u0,
+            )
+            if self.kernel.batched_potential_fn is not None:
+                pot_and_grad = _as_custom_vmap_potential(
+                    self.kernel.batched_potential_fn
+                )
+            else:
+                pot_and_grad = jax.value_and_grad(flat_pot)
+            self._exec.update(
+                tr=tr,
+                transforms=transforms,
+                unravel=unravel,
+                pot_and_grad=pot_and_grad,
+                flat_init_bank=jax.jit(jax.vmap(_flat_init)),
+                check=jax.jit(jax.vmap(pot_and_grad)),
+            )
+        transforms = self._exec["transforms"]
+        self._transforms = transforms
+        self._unravel = unravel = self._exec["unravel"]
+        pot_and_grad = self._exec["pot_and_grad"]
+        flat_init_bank = self._exec["flat_init_bank"]
+        check = self._exec["check"]
 
         # per-chain inits (constrained -> unconstrained -> flat)
         init_keys = jax.random.split(key_init, self.num_chains)
-        z0s = []
-        unravel = None
-        for c in range(self.num_chains):
-            c_constrained = initialize_latents(
-                tr, init_keys[c], self.kernel.init_strategy
-            )
-            c_unconstrained = unconstrain_sample(transforms, c_constrained)
-            flat_pot, flat0, unravel = flatten_potential(
-                make_potential_fn(model, args, kwargs, transforms, centers=centers),
-                c_unconstrained,
-            )
-            z0s.append(flat0)
-        self._unravel = unravel
-        z0s = jnp.stack(z0s)
+        z0s = flat_init_bank(init_keys)
         D = z0s.shape[-1]
         dtype = z0s.dtype
-        if self.kernel.batched_potential_fn is not None:
-            pot_and_grad = _as_custom_vmap_potential(
-                self.kernel.batched_potential_fn
-            )
-        else:
-            pot_and_grad = jax.value_and_grad(flat_pot)
 
         # reject non-finite starting points (extreme prior draws can sit in
         # regions where the solve blows up -> a chain born dead); redraw up
         # to 20 times per bad chain, numpyro-find_valid_initial_params style
-        check = jax.jit(jax.vmap(pot_and_grad))
         redraw_key = key_init
         # validate-then-redraw: 21 validations bracket 20 redraw rounds, so
         # the final round's redraws are re-checked before we give up.
         for _attempt in range(21):
             pe0, g0 = check(z0s)
             ok = jnp.isfinite(pe0) & jnp.all(jnp.isfinite(g0), axis=-1)
-            bad = [int(i) for i in jnp.where(~ok)[0]]
-            if not bad:
+            n_bad = int(jnp.sum(~ok))
+            if not n_bad:
                 break
             if _attempt == 20:
+                bad = [int(i) for i in jnp.where(~ok)[0]]
                 raise RuntimeError(
                     "could not find finite initial potentials/gradients for "
                     f"all chains after 20 redraws (bad chains: {bad})"
                 )
-            for i in bad:
-                redraw_key, sub = jax.random.split(redraw_key)
-                c_con = initialize_latents(tr, sub, self.kernel.init_strategy)
-                _, zi, _ = flatten_potential(
-                    make_potential_fn(
-                        model, args, kwargs, transforms, centers=centers
-                    ),
-                    unconstrain_sample(transforms, c_con),
-                )
-                z0s = z0s.at[i].set(zi)
+            # full-width redraw, keep only the bad rows: reuses the one
+            # compiled init program instead of compiling a ragged
+            # len(bad)-sized one per attempt
+            redraw_key, sub = jax.random.split(redraw_key)
+            z_new = flat_init_bank(jax.random.split(sub, self.num_chains))
+            z0s = jnp.where(ok[:, None], z0s, z_new)
 
         chain_keys = jax.random.split(key_run, self.num_chains)
 
@@ -701,14 +821,18 @@ class MCMC:
             prev_state, (inv_mass, chol, eps) = warm_start
             # same centering-shift hazard as the ChEES warm start above:
             # re-anchor the saved states on this run's potential function
-            pe, grad = jax.jit(jax.vmap(pot_and_grad))(prev_state.z)
+            pe, grad = check(prev_state.z)
             prev_state = prev_state._replace(
                 potential=pe, grad=grad, rng_key=chain_keys
             )
-            run_warm = self._chain_fn(pot_and_grad, D, dtype, warm=True)
-            self.last_state, self._tuned, collected = jax.jit(
-                jax.vmap(run_warm)
-            )(prev_state, inv_mass, chol, eps)
+            if "nuts_warmstart" not in self._exec["jits"]:
+                run_warm = self._chain_fn(pot_and_grad, D, dtype, warm=True)
+                self._exec["jits"]["nuts_warmstart"] = jax.jit(
+                    jax.vmap(run_warm)
+                )
+            self.last_state, self._tuned, collected = self._exec["jits"][
+                "nuts_warmstart"
+            ](prev_state, inv_mass, chol, eps)
         elif self.steps_per_call is not None:
             if self.mesh is not None:
                 sharding = shard_batch(self.mesh, self.chain_axis)
@@ -722,7 +846,11 @@ class MCMC:
             # per-chain program (numpyro "sequential" semantics -- results
             # match the vectorized bank chain-for-chain since chains are
             # independent and keyed individually)
-            run_chain = jax.jit(self._chain_fn(pot_and_grad, D, dtype))
+            if "nuts_sequential" not in self._exec["jits"]:
+                self._exec["jits"]["nuts_sequential"] = jax.jit(
+                    self._chain_fn(pot_and_grad, D, dtype)
+                )
+            run_chain = self._exec["jits"]["nuts_sequential"]
             outs = [
                 jax.block_until_ready(run_chain(z0s[i], chain_keys[i]))
                 for i in range(self.num_chains)
@@ -731,8 +859,11 @@ class MCMC:
                 lambda *xs: jnp.stack(xs), *outs
             )
         else:
-            run_chain = self._chain_fn(pot_and_grad, D, dtype)
-            run_all = jax.jit(jax.vmap(run_chain))
+            if "nuts_monolithic" not in self._exec["jits"]:
+                self._exec["jits"]["nuts_monolithic"] = jax.jit(
+                    jax.vmap(self._chain_fn(pot_and_grad, D, dtype))
+                )
+            run_all = self._exec["jits"]["nuts_monolithic"]
             if self.mesh is not None:
                 sharding = shard_batch(self.mesh, self.chain_axis)
                 z0s = jax.device_put(z0s, sharding)

@@ -46,6 +46,30 @@ def test_selective_save_subsets_full_solve():
     np.testing.assert_array_equal(np.asarray(s_i[1]), np.asarray(full[2]))
 
 
+def test_bf16_saves_round_the_f32_solve():
+    # save_dtype only rounds the MATERIALIZED saves; state math stays f32.
+    # On CPU this exercises the fallback's cast; the kernel's staging path
+    # is gated on TPU by bench_seip's equivalence check.
+    from dynode_tpu.ops.seip_pallas import seip_ensemble_solve
+
+    cfg = seip_config(
+        seasonal_vaccination=True,
+        solver_params=SolverParams(constant_step_size=0.5),
+    )
+    p = seip_odeparams(cfg)
+    y0 = seip_initial_state(cfg)
+    scales = jnp.asarray([0.95, 1.05], dtype=jnp.float32)
+    (c32,) = seip_ensemble_solve(y0, p, scales, duration=10, save=(3,))
+    (c16,) = seip_ensemble_solve(
+        y0, p, scales, duration=10, save=(3,), save_dtype=jnp.bfloat16
+    )
+    assert c16.dtype == jnp.bfloat16 and c16.shape == c32.shape
+    a32 = np.asarray(c32, np.float64)
+    a16 = np.asarray(c16.astype(jnp.float32), np.float64)
+    denom = np.maximum(np.abs(a32), 1.0)
+    assert float(np.max(np.abs(a16 - a32) / denom)) < 8e-3  # bf16 grid
+
+
 def test_pack_unpack_roundtrip():
     x = jnp.arange(3 * 5 * 2048, dtype=jnp.float32).reshape(3, 5, 2048)
     np.testing.assert_array_equal(
