@@ -414,9 +414,12 @@ def main():
         )
         if mdiff > 2e-2:
             raise RuntimeError(f"kernel equivalence failed ({mdiff:.2e})")
-        t0 = time.perf_counter()
-        _sync(seip_lead(seip_scales(1024, 1)))
-        seip_xla_tps = 1024 / (time.perf_counter() - t0)
+        xla_best = float("inf")
+        for rep in range(2):  # min-of-2: single tunnel timings can be 7x off
+            t0 = time.perf_counter()
+            _sync(seip_lead(seip_scales(1024, rep + 1)))
+            xla_best = min(xla_best, time.perf_counter() - t0)
+        seip_xla_tps = 1024 / xla_best
         best = float("inf")
         _sync(seip_kernel(16384, 1))  # compile at headline width
         for rep in range(2):
@@ -437,7 +440,7 @@ def main():
     # and the matched-quality north-star ratio, folded into the same JSON
     # artifact the driver captures (VERDICT round 2, item 3) -------------
     ess_per_sec = 0.0
-    matched_quality = 0.0
+    matched_quality = matched_quality_tuned = 0.0
     try:
         import numpy as np
 
@@ -457,7 +460,9 @@ def main():
                 file=sys.stderr,
             )
             ess_per_sec = 0.0
-        matched_quality, *_ = bench_nuts.bench_matched_quality(model, obs)
+        matched_quality, matched_quality_tuned, *_ = (
+            bench_nuts.bench_matched_quality(model, obs)
+        )
     except Exception as e:
         print(f"[bench] ESS/matched-quality measurement failed: {e}", file=sys.stderr)
 
@@ -477,6 +482,9 @@ def main():
                 "traj_per_sec_adaptive": round(adaptive_tps, 1),
                 "ess_per_sec": round(ess_per_sec, 1),
                 "matched_quality_speedup": round(matched_quality, 1),
+                "matched_quality_speedup_tuned_cpu": round(
+                    matched_quality_tuned, 1
+                ),
                 "seip_traj_per_sec": round(seip_tps, 1),
                 "seip_traj_per_sec_xla_1k": round(seip_xla_tps, 1),
             }

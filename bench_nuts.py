@@ -139,6 +139,12 @@ def bench_chees(
         steps_per_call=16,
     )
     t0 = time.perf_counter()
+    mcmc.run(jax.random.PRNGKey(0), obs=obs)
+    cold_wall = time.perf_counter() - t0
+    # warm = the steady-state cost of every subsequent fit in a session:
+    # the cross-run executable cache (infer/mcmc.py) reuses the traced
+    # programs, so this run pays device compute only
+    t0 = time.perf_counter()
     mcmc.run(jax.random.PRNGKey(1), obs=obs)
     wall = time.perf_counter() - t0
     arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
@@ -154,7 +160,8 @@ def bench_chees(
     inv_mass, chol, eps, traj = mcmc._tuned
     print(
         f"[bench_nuts] ChEES {num_chains} chains x ({num_warmup}+"
-        f"{num_samples}) in {wall:.1f}s; min ESS {ess:.0f} -> "
+        f"{num_samples}) warm {wall:.1f}s (cold {cold_wall:.1f}s incl "
+        f"trace+compile); min ESS {ess:.0f} -> "
         f"{ess / wall:.0f} ESS/s; divergences {div}; mean leapfrogs "
         f"{mean_leapfrogs:.1f}; stuck {stuck}; eps {float(eps):.4f} "
         f"traj {float(traj):.4f}; posterior means {np.round(post_mean, 3)}",
@@ -207,16 +214,53 @@ def bench_matched_quality(model, obs, num_warmup=100, num_samples=100):
 
     The literal "4-chain NUTS wall-clock" comparison is latency-bound on
     TPU (4 tiny chains leave the chip idle; measured ~2x). The defensible
-    bridge metric: take the min ESS the reference-shaped 4-chain CPU NUTS
-    run actually delivers, then measure the TPU wall-clock to reach AT
-    LEAST that min ESS with the TPU free to choose its own bank shape
-    (a modest 1024-chain ChEES bank with a short warmup). Both sides are
-    WARM walls (second run, jit-cached -- the steady-state cost of every
-    fit in a session). Returns (speedup, cpu_wall, cpu_ess, tpu_wall,
-    tpu_ess).
+    bridge metric: take the min ESS the 4-chain CPU NUTS run actually
+    delivers, then measure the TPU wall-clock to reach AT LEAST that min
+    ESS with the TPU free to choose its own bank shape (a modest
+    1024-chain ChEES bank with a short warmup). Both sides are WARM walls
+    (second run, jit-cached -- the steady-state cost of every fit in a
+    session).
+
+    TWO CPU baselines are measured, because "CPU reference" in BASELINE.md
+    means the reference's own configuration, not this repo's best CPU:
+
+    - **reference-shaped**: the settings a reference user actually runs
+      (`/root/reference/examples/sir_infer_parameters.py:92-98` +
+      numpyro defaults): 4 chains, 500 warmup + 100 samples,
+      max_tree_depth=10, diagonal mass, sequential chains (numpyro's CPU
+      fallback when chains > devices). This is the BASELINE.md ratio.
+    - **tuned**: this repo's best CPU NUTS (vectorized 4-chain bank,
+      dense mass, short trees, 100+100) -- a strictly harder
+      baseline, reported alongside so the headline is not resting on a
+      de-tuned opponent.
+
+    Returns (speedup_ref, speedup_tuned, cpu walls/ess, tpu wall/ess).
     """
-    # --- CPU side: the reference workload shape (4 chains, 100+100) ------
-    def cpu_once(seed):
+
+    def _ess_and_mean(mcmc):
+        arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
+        ess = min(
+            effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
+        )
+        return ess, arr.reshape(-1, arr.shape[-1]).mean(axis=0)
+
+    def cpu_ref_once(seed):
+        # reference configuration: sequential chains avoid the vectorized
+        # bank's max-leapfrog penalty, matching numpyro-on-laptop semantics
+        mcmc = MCMC(
+            NUTS(model, dense_mass=False, max_tree_depth=10),
+            num_warmup=500,
+            num_samples=100,
+            num_chains=4,
+            progress_bar=False,
+            chain_method="sequential",
+        )
+        t0 = time.perf_counter()
+        mcmc.run(jax.random.PRNGKey(seed), obs=obs)
+        wall = time.perf_counter() - t0
+        return (wall,) + _ess_and_mean(mcmc)
+
+    def cpu_tuned_once(seed):
         mcmc = MCMC(
             NUTS(model, dense_mass=True, max_tree_depth=MAX_TREE_DEPTH),
             num_warmup=num_warmup,
@@ -228,26 +272,36 @@ def bench_matched_quality(model, obs, num_warmup=100, num_samples=100):
         t0 = time.perf_counter()
         mcmc.run(jax.random.PRNGKey(seed), obs=obs)
         wall = time.perf_counter() - t0
-        arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
-        ess = min(
-            effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
-        )
-        return wall, ess, arr.reshape(-1, arr.shape[-1]).mean(axis=0)
+        return (wall,) + _ess_and_mean(mcmc)
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        cpu_once(31)  # cold (compile)
-        cpu_wall, cpu_ess, cpu_mean = cpu_once(32)  # warm
+        cpu_ref_once(21)  # cold (compile)
+        ref_wall, ref_ess, ref_mean = cpu_ref_once(22)  # warm
+        cpu_tuned_once(31)  # cold
+        cpu_wall, cpu_ess, cpu_mean = cpu_tuned_once(32)  # warm
 
-    # --- TPU side: wide short bank; every retained ChEES draw is nearly
-    # independent, so 1024 chains x 16 draws >> any 4-chain-x-100 min ESS.
-    # Monolithic chunks (no steps_per_call) = 2 device dispatches total;
-    # the warmup length is the irreducible sequential cost ---------------
+    # --- TPU side: wide SHORT bank -- 1024 chains x (8 warmup + 8 draws).
+    # Monolithic (no steps_per_call) = 2 device dispatches total; the ~16
+    # sequential transitions are the irreducible cost.
+    #
+    # ESS at 8 draws/chain cannot be measured with the autocorrelation
+    # estimator (measured artifact: it returns 4% efficiency at 16 draws
+    # and the exact chains x draws ceiling at 8 -- too-short series).
+    # Instead ESS is measured OPERATIONALLY from cross-chain scatter: the
+    # 1024 chains are independent (independent prior inits and rng keys;
+    # post-warmup draws are independent across chains given the shared
+    # tuned params), so se(bank mean)^2 = var(chain means)/n_chains with
+    # ~1k dof, and ESS = posterior_var / se^2. Within-chain
+    # autocorrelation inflates var(chain means) and lowers this ESS
+    # automatically. A shared warmup-convergence BIAS would not show in
+    # cross-chain scatter -- that is exactly what the posterior-mean
+    # agreement gate below catches (against both CPU baselines).
     def tpu_once(seed):
         mcmc = MCMC(
             ChEES(model),
-            num_warmup=32,
-            num_samples=16,
+            num_warmup=8,
+            num_samples=8,
             num_chains=1024,
             progress_bar=False,
         )
@@ -255,38 +309,56 @@ def bench_matched_quality(model, obs, num_warmup=100, num_samples=100):
         mcmc.run(jax.random.PRNGKey(seed), obs=obs)
         wall = time.perf_counter() - t0
         arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
-        ess = min(
-            effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
-        )
-        return wall, ess, arr.reshape(-1, arr.shape[-1]).mean(axis=0)
+        flat = arr.reshape(-1, arr.shape[-1])
+        chain_means = arr.mean(axis=1)
+        se2 = chain_means.var(axis=0, ddof=1) / arr.shape[0]
+        ess = float(np.min(flat.var(axis=0) / np.maximum(se2, 1e-30)))
+        return wall, ess, flat.mean(axis=0)
 
-    tpu_once(41)  # cold
-    tpu_wall, tpu_ess, tpu_mean = tpu_once(42)  # warm
+    tpu_once(40)  # cold
+    runs = [tpu_once(s) for s in (41, 42, 43)]  # warm
+    tpu_wall = float(np.median([r[0] for r in runs]))
+    tpu_ess = float(np.median([r[1] for r in runs]))
+    tpu_mean = np.mean([r[2] for r in runs], axis=0)
     # matched QUALITY means matched POSTERIOR, not just ESS: a short-warmup
     # bias with high ESS must not count. Means must agree within combined
     # Monte-Carlo error (5 sigma; sem ~ posterior sd / sqrt(min ESS))
-    drift = float(np.max(np.abs(tpu_mean - cpu_mean)))
-    sem = 0.05 / np.sqrt(min(cpu_ess, tpu_ess))  # posterior sd ~0.03-0.05
-    if tpu_ess < cpu_ess or drift > 5.0 * sem + 1e-3:
+    target_ess = max(ref_ess, cpu_ess)
+    # agreement against BOTH baselines' means (each has its own MC error)
+    drift = max(
+        float(np.max(np.abs(tpu_mean - ref_mean))),
+        float(np.max(np.abs(tpu_mean - cpu_mean))),
+    )
+    sem = 0.05 / np.sqrt(
+        min(ref_ess, cpu_ess, tpu_ess)
+    )  # posterior sd ~0.03-0.05
+    if tpu_ess < target_ess or drift > 5.0 * sem + 1e-3:
         print(
             f"[bench_nuts] matched-quality: TPU bank ESS {tpu_ess:.0f} vs "
-            f"CPU ESS {cpu_ess:.0f}, posterior-mean drift {drift:.4f} "
+            f"CPU ESS {target_ess:.0f}, posterior-mean drift {drift:.4f} "
             f"(limit {5.0 * sem + 1e-3:.4f}); ratio not valid",
             file=sys.stderr,
         )
-        return 0.0, cpu_wall, cpu_ess, tpu_wall, tpu_ess
-    speedup = cpu_wall / tpu_wall
+        return 0.0, 0.0, ref_wall, ref_ess, cpu_wall, cpu_ess, tpu_wall, tpu_ess
+    speedup_ref = ref_wall / tpu_wall
+    speedup_tuned = cpu_wall / tpu_wall
     print(
-        f"[bench_nuts] matched-quality north star: CPU 4-chain NUTS "
-        f"({num_warmup}+{num_samples}) warm {cpu_wall:.1f}s -> min ESS "
-        f"{cpu_ess:.0f}; TPU 1024-chain ChEES (32+16) warm {tpu_wall:.1f}s "
-        f"-> min ESS {tpu_ess:.0f} (>= CPU's) => {speedup:.1f}x wall-clock "
-        f"at matched-or-better quality (BASELINE.md target >=50x; the TPU "
-        f"side is bound by the sequential warmup transitions, not by "
-        f"chain width -- see README north-star discussion)",
+        f"[bench_nuts] matched-quality north star: reference-shaped CPU "
+        f"4-chain NUTS (500+100, depth 10, diag mass, sequential) warm "
+        f"{ref_wall:.1f}s -> min ESS {ref_ess:.0f}; tuned-CPU 4-chain bank "
+        f"({num_warmup}+{num_samples}, depth {MAX_TREE_DEPTH}, dense mass) "
+        f"warm {cpu_wall:.1f}s -> min ESS {cpu_ess:.0f}; TPU 1024-chain "
+        f"ChEES (8+8) warm {tpu_wall:.1f}s -> min ESS {tpu_ess:.0f} "
+        f"(cross-chain-scatter estimate; >= both) => {speedup_ref:.1f}x vs "
+        f"the reference configuration (BASELINE.md target >=50x), "
+        f"{speedup_tuned:.1f}x vs this repo's best CPU (the TPU side is "
+        f"bound by its ~16 sequential transitions, not by chain width)",
         file=sys.stderr,
     )
-    return speedup, cpu_wall, cpu_ess, tpu_wall, tpu_ess
+    return (
+        speedup_ref, speedup_tuned,
+        ref_wall, ref_ess, cpu_wall, cpu_ess, tpu_wall, tpu_ess,
+    )
 
 
 def main():
@@ -399,9 +471,11 @@ def main():
     except Exception as e:
         print(f"[bench_nuts] 4-chain comparison failed: {e}", file=sys.stderr)
 
-    matched_quality = 0.0
+    matched_quality = matched_quality_tuned = 0.0
     try:
-        matched_quality, *_ = bench_matched_quality(model, obs)
+        matched_quality, matched_quality_tuned, *_ = bench_matched_quality(
+            model, obs
+        )
     except Exception as e:
         print(f"[bench_nuts] matched-quality bench failed: {e}", file=sys.stderr)
 
@@ -416,9 +490,14 @@ def main():
                 "nuts_ess_per_sec": round(nuts_ess_s, 3),
                 "chees_ess_per_sec": round(chees_ess_s, 3),
                 "matched_quality_speedup": round(matched_quality, 1),
+                "matched_quality_speedup_tuned_cpu": round(
+                    matched_quality_tuned, 1
+                ),
                 "matched_quality_note": (
-                    "CPU 4-chain NUTS warm wall / TPU wall to reach >= the "
-                    "same min ESS (1024-chain ChEES bank)"
+                    "reference-configuration CPU 4-chain NUTS (500+100, "
+                    "depth 10, diag mass, sequential) warm wall / TPU wall "
+                    "to reach >= the same min ESS (1024-chain ChEES bank); "
+                    "_tuned_cpu uses this repo's best CPU NUTS instead"
                 ),
             }
         )
