@@ -128,6 +128,11 @@ def bench_seip_fit(
     )
     t0 = time.perf_counter()
     mcmc.run(jax.random.PRNGKey(2), obs_data=obs)
+    cold_wall = time.perf_counter() - t0
+    # warm: the executable cache (infer/mcmc.py) reuses the traced phase
+    # programs, so every subsequent fit in a session pays compute only
+    t0 = time.perf_counter()
+    mcmc.run(jax.random.PRNGKey(3), obs_data=obs)
     wall = time.perf_counter() - t0
     arr = jnp.asarray(mcmc.get_samples(group_by_chain=True)["beta_scales"])
     import numpy as np
@@ -140,7 +145,8 @@ def bench_seip_fit(
     err = float(np.max(np.abs(post - np.asarray(true_scales))))
     print(
         f"[bench_seip] ChEES fit: {n_chains} chains x ({num_warmup}+"
-        f"{num_samples}) through the {fit_days}d SEIP solve in {wall:.1f}s; "
+        f"{num_samples}) through the {fit_days}d SEIP solve warm "
+        f"{wall:.1f}s (cold {cold_wall:.1f}s incl trace+compile); "
         f"min ESS {ess:.0f} -> {ess / wall:.0f} ESS/s; posterior "
         f"{np.round(post, 3)} (true {np.round(np.asarray(true_scales), 3)}, "
         f"max err {err:.3f})",
