@@ -8,6 +8,12 @@ second run misses the in-process jit cache entirely and pays trace +
 (server-cached) compile round-trips per chunk program.
 
 jax.log_compiles prints every XLA compilation; count them per run.
+
+Measured (v5e-1):
+  BEFORE the executable cache: 4 compiles on every warm run (~165-183 s).
+  AFTER (2026-08-17): cold 122.0 s / 57 compiles; warm-same-instance
+  20.7 s / 0 compiles -- twice, to the decisecond. Warm runs are at the
+  device-compute bound.
 """
 
 import _bootstrap  # noqa: F401

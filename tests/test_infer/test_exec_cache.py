@@ -116,3 +116,32 @@ def test_config_change_is_a_miss():
     _mcmc(NUTS, steps_per_call=25).run(jax.random.PRNGKey(0), obs=obs)
     _mcmc(NUTS, steps_per_call=None).run(jax.random.PRNGKey(0), obs=obs)
     assert len(_EXEC_CACHE) == 2
+
+
+def test_mesh_sharded_run_caches_and_is_distinct_from_unsharded():
+    # mesh identity is part of the key: a sharded bank must not be served
+    # an unsharded program (or vice versa), and repeat sharded runs reuse
+    # the same jits (jax re-specializes per input sharding internally)
+    from dynode_tpu.parallel import create_mesh
+
+    obs = jnp.full((8,), 3.0)
+    mesh = create_mesh(("chains",))
+    m_unsharded = _mcmc(NUTS, steps_per_call=25)
+    m_unsharded.run(jax.random.PRNGKey(0), obs=obs)
+    m_sharded = _mcmc(NUTS, steps_per_call=25, mesh=mesh, chain_axis="chains")
+    m_sharded.run(jax.random.PRNGKey(0), obs=obs)
+    assert len(_EXEC_CACHE) == 2
+    jit_ids = {
+        k: id(v)
+        for k, v in list(_EXEC_CACHE.values())[-1]["jits"].items()
+    }
+    m_sharded.run(jax.random.PRNGKey(1), obs=obs)
+    assert len(_EXEC_CACHE) == 2
+    entry2 = list(_EXEC_CACHE.values())[-1]
+    assert {k: id(v) for k, v in entry2["jits"].items()} == jit_ids
+    # identical seed => identical draws, sharded or not (chains are
+    # independent and individually keyed)
+    a = np.asarray(m_unsharded.get_samples(group_by_chain=True)["mu"])
+    m_sharded.run(jax.random.PRNGKey(0), obs=obs)
+    b = np.asarray(m_sharded.get_samples(group_by_chain=True)["mu"])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
