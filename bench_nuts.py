@@ -379,6 +379,10 @@ def main():
         steps_per_call=16,
     )
     t0 = time.perf_counter()
+    mcmc.run(jax.random.PRNGKey(0), obs=obs)
+    cold_wall = time.perf_counter() - t0
+    # warm (executable cache): the steady-state per-fit cost
+    t0 = time.perf_counter()
     mcmc.run(jax.random.PRNGKey(1), obs=obs)
     wall = time.perf_counter() - t0
 
@@ -394,8 +398,9 @@ def main():
     stuck = int((per_chain_std < 1e-5).sum())
     post_mean = arr.reshape(-1, 3).mean(axis=0)
     print(
-        f"[bench_nuts] {NUM_CHAINS} chains x ({NUM_WARMUP}+{NUM_SAMPLES}) in "
-        f"{wall:.1f}s; min ESS {ess:.0f}; divergences {div}; "
+        f"[bench_nuts] {NUM_CHAINS} chains x ({NUM_WARMUP}+{NUM_SAMPLES}) "
+        f"warm {wall:.1f}s (cold {cold_wall:.1f}s incl trace+compile); "
+        f"min ESS {ess:.0f}; divergences {div}; "
         f"mean leapfrogs/transition {mean_leapfrogs:.1f}; "
         f"stuck chains {stuck}; posterior "
         f"means {np.round(post_mean, 3)} (true {np.asarray(true_scales)})",
