@@ -72,9 +72,13 @@ class SolverParams(BaseModel):
         default=None,
         description="TPU-specific: per-save-interval step bound for the "
         "save-grid-bounded adaptive engine (uniform save grids only). "
-        "Defaults to ceil(step_budget / n_intervals) + 1; raise it when a "
-        "solve needs many adaptive steps inside a single save interval "
-        "(exhaustion NaN-fills that save and flags result, loudly).",
+        "Defaults to max(ceil(1.25 * step_budget / n_intervals) + 2, 6) -- "
+        "headroom over the mean because adaptive step density is "
+        "non-uniform in time; the first interval gets twice this bound "
+        "(min 16) to ramp dt up from the conservative automatic initial "
+        "step. Raise it when a solve needs many adaptive steps inside a "
+        "single save interval (exhaustion NaN-fills that save and flags "
+        "result, loudly). The global step_budget still caps total work.",
     )
     compensated_summation: bool = Field(
         default=False,

@@ -25,7 +25,7 @@ import numpy as np
 
 from jax.flatten_util import ravel_pytree
 
-from ..parallel import create_mesh, shard_batch
+from ..parallel import create_mesh, jit_donated, shard_batch
 from . import handlers
 from .chees import ChEES, make_chees_parts
 from .hmc import (
@@ -111,7 +111,26 @@ def _kernel_token(kern) -> tuple:
     return common + (kern.max_tree_depth,)
 
 
-def _exec_cache_entry(key: tuple, model, leaves) -> dict:
+def _leaf_fingerprint(x):
+    """Cheap content tag for an array leaf: shape/dtype + strided probe.
+
+    Host numpy arrays are the stale-hit hazard of identity keying -- an
+    in-place mutation keeps ``id(x)`` while the values a cached program
+    compiled in are gone. The probe (8 strided elements + first/last) is
+    O(1) and catches realistic mutations; ``jax.Array``s are immutable so
+    identity alone proves their contents.
+    """
+    if isinstance(x, np.ndarray):
+        flat = x.reshape(-1)
+        if flat.size == 0:
+            return (x.shape, x.dtype.str, b"")
+        stride = max(1, flat.size // 8)
+        probe = np.concatenate([flat[::stride][:8], flat[-1:]])
+        return (x.shape, x.dtype.str, probe.tobytes())
+    return None
+
+
+def _exec_cache_entry(key: tuple, model, leaves, pinned) -> dict:
     """Fetch-or-create the cross-run executable cache entry for ``key``.
 
     Profiling on the v5e tunnel (probes/probe_chees_profile*.py) showed a
@@ -122,22 +141,43 @@ def _exec_cache_entry(key: tuple, model, leaves) -> dict:
     This registry keys trace-derived objects (transforms, centers, the
     flattened potential) and the jitted phase programs on everything that
     is baked into them -- kernel configuration, run shape, and the
-    IDENTITY of the model and of every array argument (arrays are closed
-    over as compiled constants, so value-equality is not enough to prove
-    reuse safe, and identity is what repeated fits in a session actually
-    pass). Entries hold strong references to ``model``/``leaves`` both to
-    pin those ids against recycling and to double-check hits with ``is``.
+    IDENTITY of the model, of every array argument, and of the kernel's
+    callable configuration (``init_strategy``, ``batched_potential_fn`` --
+    ``pinned``). Arrays are closed over as compiled constants, so
+    value-equality is not enough to prove reuse safe, and identity is what
+    repeated fits in a session actually pass. Entries hold strong
+    references to every keyed object both to pin their ids against
+    recycling and to double-check hits with ``is``; numpy leaves
+    additionally carry a content fingerprint so an in-place mutation
+    (same id, new values) is a loud miss instead of a stale posterior.
     """
+    fps = [_leaf_fingerprint(x) for x in leaves]
     entry = _EXEC_CACHE.get(key)
     if (
         entry is not None
         and entry["model"] is model
         and len(entry["leaves"]) == len(leaves)
         and all(a is b for a, b in zip(entry["leaves"], leaves))
+        and len(entry["pinned"]) == len(pinned)
+        and all(a is b for a, b in zip(entry["pinned"], pinned))
     ):
-        _EXEC_CACHE.move_to_end(key)
-        return entry
-    entry = {"model": model, "leaves": list(leaves), "jits": {}}
+        if entry["fps"] == fps:
+            _EXEC_CACHE.move_to_end(key)
+            return entry
+        warnings.warn(
+            "MCMC executable cache: an array argument was mutated in "
+            "place since the cached run (same object identity, different "
+            "contents) -- recompiling. Pass a fresh array instead of "
+            "mutating, or this run pays full compile cost every time.",
+            stacklevel=3,
+        )
+    entry = {
+        "model": model,
+        "leaves": list(leaves),
+        "pinned": list(pinned),
+        "fps": fps,
+        "jits": {},
+    }
     _EXEC_CACHE[key] = entry
     _EXEC_CACHE.move_to_end(key)
     while len(_EXEC_CACHE) > _EXEC_CACHE_SIZE:
@@ -360,6 +400,19 @@ class MCMC:
                         state, da, wf, inv_mass, chol = args
                         inv_new = welford_covariance(wf)
                         chol_new = chol_of_inv(inv_new)
+                        if not kern.adapt_step_size:
+                            # step-size adaptation is off: keep the pinned
+                            # (or init-searched) eps -- re-searching here
+                            # would silently override a step size the user
+                            # explicitly turned adaptation off to protect
+                            # (ChEES's refresh has the same guard)
+                            return (
+                                state,
+                                da,
+                                welford_init(D, kern.dense_mass, dtype),
+                                inv_new,
+                                chol_new,
+                            )
                         # re-search a reasonable step size under the NEW
                         # metric (skipping this lets chains whose step size
                         # collapsed in a bad window death-spiral: tiny eps ->
@@ -436,10 +489,13 @@ class MCMC:
             init_chain, warm_segment, sample_segment = self._parts(
                 pot_and_grad, D, dtype
             )
+            # donate the chunk carry / chain state: on wide banks it is the
+            # dominant live allocation, and each chunk call consumes the
+            # previous chunk's output (never reused on the host)
             jits["nuts_chunked"] = (
                 jax.jit(jax.vmap(init_chain)),
-                jax.jit(jax.vmap(warm_segment, in_axes=(0, None))),
-                jax.jit(
+                jit_donated(jax.vmap(warm_segment, in_axes=(0, None))),
+                jit_donated(
                     jax.vmap(sample_segment, in_axes=(0, 0, 0, 0, None))
                 ),
             )
@@ -566,10 +622,11 @@ class MCMC:
             init_bank, warm_segment, sample_segment = make_chees_parts(
                 kern, pot_and_grad, D, dtype
             )
+            # donated chunk carry / bank state: see nuts_chunked note
             jits["chees"] = (
                 jax.jit(init_bank),
-                jax.jit(warm_segment),
-                jax.jit(sample_segment),
+                jit_donated(warm_segment),
+                jit_donated(sample_segment),
             )
         init_jit, warm_jit, sample_jit = jits["chees"]
         if self.steps_per_call:
@@ -590,6 +647,9 @@ class MCMC:
             # across that shift rejects every proposal
             pe, grad = self._exec["check"](state.z)
             state = state._replace(potential=pe, grad=grad, rng_key=key_run)
+            # sample_jit donates the bank state; deep-copy so donation can
+            # never invalidate the caller's saved warm_start arrays
+            state = jax.tree_util.tree_map(jnp.array, state)
         else:
             carry = init_jit(z0s, key_run)
             flags, n_chunks = self._padded_warmup_flags(n_warm)
@@ -635,6 +695,12 @@ class MCMC:
         per-chain states with the saved mass matrices and step sizes
         (chained inference).
 
+        Model args/kwargs are cached by IDENTITY across runs (exec cache):
+        pass the same objects to reuse compiled programs. numpy arrays
+        additionally carry a content fingerprint, so mutating one in
+        place between runs triggers a loud recompile (never a stale
+        posterior) -- prefer passing a fresh array.
+
         ``consensus_check``: split the chain bank into this many sub-banks
         after sampling and compare their posterior means against the
         combined Monte-Carlo standard errors -- the cheap cross-width
@@ -672,12 +738,22 @@ class MCMC:
                 and self.num_chains % n_dev == 0
             ):
                 self.mesh = create_mesh((self.chain_axis,))
-            warnings.warn(
-                "chain_method='parallel' runs as a mesh-sharded vectorized "
-                "chain bank on this backend (same posterior; chains are "
-                "split across devices via GSPMD rather than host pmap)",
-                stacklevel=2,
-            )
+            if self.mesh is not None:
+                warnings.warn(
+                    "chain_method='parallel' runs as a mesh-sharded "
+                    "vectorized chain bank on this backend (same posterior; "
+                    "chains are split across devices via GSPMD rather than "
+                    "host pmap)",
+                    stacklevel=2,
+                )
+            else:
+                warnings.warn(
+                    "chain_method='parallel' fell back to a plain vectorized "
+                    f"(unsharded) chain bank: {n_dev} device(s) visible and "
+                    f"num_chains={self.num_chains} must be divisible by the "
+                    "device count for the mesh-sharded layout",
+                    stacklevel=2,
+                )
         elif self.chain_method == "sequential":
             if isinstance(self.kernel, ChEES):
                 raise ValueError(
@@ -716,7 +792,8 @@ class MCMC:
             treedef,
             tuple(id(x) for x in leaves),
         )
-        self._exec = _exec_cache_entry(cache_key, model, leaves)
+        pinned = (self.kernel.init_strategy, self.kernel.batched_potential_fn)
+        self._exec = _exec_cache_entry(cache_key, model, leaves, pinned)
 
         key_struct, key_init, key_run = jax.random.split(rng_key, 3)
         if "pot_and_grad" not in self._exec:
@@ -771,36 +848,47 @@ class MCMC:
         flat_init_bank = self._exec["flat_init_bank"]
         check = self._exec["check"]
 
-        # per-chain inits (constrained -> unconstrained -> flat)
-        init_keys = jax.random.split(key_init, self.num_chains)
-        z0s = flat_init_bank(init_keys)
-        D = z0s.shape[-1]
-        dtype = z0s.dtype
+        if warm_start is not None:
+            # warm-started runs never use fresh inits: the saved per-chain
+            # states are the starting points, so skip the init bank AND its
+            # finite-potential validation sweep (each costs a full batched
+            # potential evaluation -- real latency on amortized re-fits)
+            z0s = None
+            _state0 = warm_start[0]
+            D = _state0.z.shape[-1]
+            dtype = _state0.z.dtype
+        else:
+            # per-chain inits (constrained -> unconstrained -> flat)
+            init_keys = jax.random.split(key_init, self.num_chains)
+            z0s = flat_init_bank(init_keys)
+            D = z0s.shape[-1]
+            dtype = z0s.dtype
 
-        # reject non-finite starting points (extreme prior draws can sit in
-        # regions where the solve blows up -> a chain born dead); redraw up
-        # to 20 times per bad chain, numpyro-find_valid_initial_params style
-        redraw_key = key_init
-        # validate-then-redraw: 21 validations bracket 20 redraw rounds, so
-        # the final round's redraws are re-checked before we give up.
-        for _attempt in range(21):
-            pe0, g0 = check(z0s)
-            ok = jnp.isfinite(pe0) & jnp.all(jnp.isfinite(g0), axis=-1)
-            n_bad = int(jnp.sum(~ok))
-            if not n_bad:
-                break
-            if _attempt == 20:
-                bad = [int(i) for i in jnp.where(~ok)[0]]
-                raise RuntimeError(
-                    "could not find finite initial potentials/gradients for "
-                    f"all chains after 20 redraws (bad chains: {bad})"
-                )
-            # full-width redraw, keep only the bad rows: reuses the one
-            # compiled init program instead of compiling a ragged
-            # len(bad)-sized one per attempt
-            redraw_key, sub = jax.random.split(redraw_key)
-            z_new = flat_init_bank(jax.random.split(sub, self.num_chains))
-            z0s = jnp.where(ok[:, None], z0s, z_new)
+            # reject non-finite starting points (extreme prior draws can sit
+            # in regions where the solve blows up -> a chain born dead);
+            # redraw up to 20 times per bad chain,
+            # numpyro-find_valid_initial_params style
+            redraw_key = key_init
+            # validate-then-redraw: 21 validations bracket 20 redraw rounds,
+            # so the final round's redraws are re-checked before giving up.
+            for _attempt in range(21):
+                pe0, g0 = check(z0s)
+                ok = jnp.isfinite(pe0) & jnp.all(jnp.isfinite(g0), axis=-1)
+                n_bad = int(jnp.sum(~ok))
+                if not n_bad:
+                    break
+                if _attempt == 20:
+                    bad = [int(i) for i in jnp.where(~ok)[0]]
+                    raise RuntimeError(
+                        "could not find finite initial potentials/gradients "
+                        f"for all chains after 20 redraws (bad chains: {bad})"
+                    )
+                # full-width redraw, keep only the bad rows: reuses the one
+                # compiled init program instead of compiling a ragged
+                # len(bad)-sized one per attempt
+                redraw_key, sub = jax.random.split(redraw_key)
+                z_new = flat_init_bank(jax.random.split(sub, self.num_chains))
+                z0s = jnp.where(ok[:, None], z0s, z_new)
 
         chain_keys = jax.random.split(key_run, self.num_chains)
 
@@ -811,7 +899,7 @@ class MCMC:
                 f"{self.num_samples} samples)..."
             )
         if isinstance(self.kernel, ChEES):
-            if self.mesh is not None:
+            if self.mesh is not None and z0s is not None:
                 sharding = shard_batch(self.mesh, self.chain_axis)
                 z0s = jax.device_put(z0s, sharding)
             self.last_state, self._tuned, collected = self._run_chees(

@@ -555,8 +555,13 @@ def _solve_adaptive_grid(
         "num_accepted": na,
         "num_rejected": nr,
         "num_steps": na + nr,
+        # the true compiled per-member step capacity: the first interval
+        # runs outside the scan with its own larger bound k_first, the
+        # remaining n_saves-2 intervals get k_per_interval each, and the
+        # global budget still cuts off work inside every interval
         "step_budget": jnp.asarray(
-            min(budget, k_per_interval * (n_saves - 1)), dtype=jnp.int32
+            min(budget, k_first + k_per_interval * (n_saves - 2)),
+            dtype=jnp.int32,
         ),
     }
     return Solution(

@@ -136,7 +136,9 @@ class TestPerIntervalBudget:
         sol = simulate(sir_ode, 50, y0, p, sp)
         assert int(sol.result) == 0
         assert not bool(jnp.any(jnp.isnan(sol.ys[1])))
-        assert int(sol.stats["step_budget"]) == 16 * 50
+        # true compiled capacity (ADVICE r3): the first interval runs with
+        # its own doubled bound (k_first = 2*16), the remaining 49 get 16
+        assert int(sol.stats["step_budget"]) == 2 * 16 + 16 * 49
 
     def test_member_catches_up_after_exhausted_interval(self):
         # with a tiny per-interval budget the solve NaNs some early saves
