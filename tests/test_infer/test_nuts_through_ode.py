@@ -110,6 +110,33 @@ def mcmc_fit(prior_config, observed_incidence):
     return make_mcmc_fit(prior_config, observed_incidence)
 
 
+@pytest.fixture(scope="module")
+def chees_fit(prior_config, observed_incidence):
+    proc = MCMCProcess(
+        numpyro_model=_model,
+        num_warmup=200,
+        num_samples=100,
+        num_chains=16,
+        nuts_max_tree_depth=8,  # unused by chees; field is required
+        sampler="chees",
+        progress_bar=False,
+    )
+    proc.infer(config=prior_config, tf=TF, obs_data=observed_incidence)
+    return proc
+
+
+@pytest.fixture(scope="module")
+def svi_fit(prior_config, observed_incidence):
+    proc = SVIProcess(
+        numpyro_model=_model,
+        num_iterations=400,
+        num_samples=200,
+        progress_bar=False,
+    )
+    proc.infer(config=prior_config, tf=TF, obs_data=observed_incidence)
+    return proc
+
+
 class TestNUTSThroughODE:
     def test_posterior_recovers_generating_values(self, mcmc_fit):
         samples = mcmc_fit.get_samples()
@@ -173,41 +200,76 @@ class TestChEESThroughODE:
     (infer/chees.py): trajectory-length adaptation must recover the same
     posterior as NUTS through the adaptive ODE solve."""
 
-    def test_chees_recovers_generating_values(
-        self, prior_config, observed_incidence
-    ):
-        proc = MCMCProcess(
-            numpyro_model=_model,
-            num_warmup=200,
-            num_samples=100,
-            num_chains=16,
-            nuts_max_tree_depth=8,  # unused by chees; field is required
-            sampler="chees",
-            progress_bar=False,
-        )
-        proc.infer(config=prior_config, tf=TF, obs_data=observed_incidence)
-        samples = proc.get_samples()
+    def test_chees_recovers_generating_values(self, chees_fit):
+        samples = chees_fit.get_samples()
         r0 = float(jnp.mean(samples["strains_0_r0"]))
         ip = float(jnp.mean(samples["strains_0_infectious_period"]))
         assert r0 == pytest.approx(TRUE_R0, rel=0.01), r0
         assert ip == pytest.approx(TRUE_INF_PERIOD, rel=0.01), ip
-        extras = proc._inferer.get_extra_fields()
+        extras = chees_fit._inferer.get_extra_fields()
         assert float(jnp.mean(extras["accept_prob"])) > 0.4
 
 
 class TestSVIThroughODE:
-    def test_svi_recovers_generating_values(
-        self, prior_config, observed_incidence
-    ):
-        proc = SVIProcess(
-            numpyro_model=_model,
-            num_iterations=400,
-            num_samples=200,
-            progress_bar=False,
-        )
-        proc.infer(config=prior_config, tf=TF, obs_data=observed_incidence)
-        samples = proc.get_samples()
+    def test_svi_recovers_generating_values(self, svi_fit):
+        samples = svi_fit.get_samples()
         r0 = float(jnp.mean(samples["strains_0_r0"]))
         ip = float(jnp.mean(samples["strains_0_infectious_period"]))
         assert r0 == pytest.approx(TRUE_R0, rel=0.02), r0
         assert ip == pytest.approx(TRUE_INF_PERIOD, rel=0.03), ip
+
+
+class TestQuadratureOracle:
+    """Parity against the EXACT posterior (tests/golden/quadrature.npz).
+
+    The quadrature golden is computed by f64 grid quadrature with
+    scipy-DOP853 solves and scipy.stats prior densities
+    (tests/golden/gen_quadrature.py) -- a witness sharing no code with
+    this repo's solver, distributions, or samplers. It closes the
+    BASELINE.md 1% posterior-parity criterion non-circularly: a
+    systematic bias shared by our solver+sampler would pass the
+    self-generated posteriors.npz golden but fail here.
+    """
+
+    @pytest.fixture(scope="class")
+    def quad(self):
+        import pathlib
+
+        import numpy as np
+
+        path = pathlib.Path(__file__).parents[1] / "golden" / "quadrature.npz"
+        if not path.exists():
+            pytest.skip("quadrature golden not generated")
+        return np.load(path)
+
+    @staticmethod
+    def _assert_parity(samples, quad, *, mean_rtol=0.01, std_rtol=0.25):
+        import numpy as np
+
+        for site in ("strains_0_r0", "strains_0_infectious_period"):
+            arr = np.asarray(samples[site], dtype=np.float64)
+            q_mean = float(quad[f"{site}_mean"])
+            q_std = float(quad[f"{site}_std"])
+            assert arr.mean() == pytest.approx(q_mean, rel=mean_rtol), (
+                f"{site} mean {arr.mean():.6f} vs exact {q_mean:.6f}"
+            )
+            assert arr.std() == pytest.approx(q_std, rel=std_rtol), (
+                f"{site} std {arr.std():.6f} vs exact {q_std:.6f}"
+            )
+            # the sampler mean must sit well inside the exact 94% interval
+            lo, hi = np.asarray(quad[f"{site}_eti94"])
+            assert lo < arr.mean() < hi, (site, arr.mean(), (lo, hi))
+
+    def test_nuts_matches_exact_posterior(self, mcmc_fit, quad):
+        self._assert_parity(mcmc_fit.get_samples(), quad)
+
+    def test_chees_matches_exact_posterior(self, chees_fit, quad):
+        self._assert_parity(chees_fit.get_samples(), quad)
+
+    def test_svi_matches_exact_posterior(self, svi_fit, quad):
+        # the 1% criterion is on MEANS (BASELINE.md); the full-rank
+        # Gaussian guide under 1-particle ELBO at this iteration budget
+        # overestimates the rho=0.96 posterior's marginal stds by ~40%
+        # (measured 0.079 vs exact 0.055 on infectious_period), so the
+        # std band documents that known bias rather than hiding it
+        self._assert_parity(svi_fit.get_samples(), quad, std_rtol=0.55)
