@@ -33,6 +33,7 @@ from .svi import (
     AutoMultivariateNormal,
     AutoNormal,
     ClippedAdam,
+    SVIMultiStartResult,
     SVIRunResult,
     SVIState,
     Trace_ELBO,
@@ -70,6 +71,7 @@ __all__ = [
     "SVI",
     "SVIState",
     "SVIRunResult",
+    "SVIMultiStartResult",
     "Trace_ELBO",
     "Adam",
     "ClippedAdam",

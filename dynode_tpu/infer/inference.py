@@ -21,6 +21,7 @@ from .svi import (
     Adam,
     AutoGuide,
     AutoMultivariateNormal,
+    SVIMultiStartResult,
     SVIRunResult,
     Trace_ELBO,
 )
@@ -194,6 +195,24 @@ class SVIProcess(InferenceProcess):
     )
     progress_bar: bool = True
     guide_kwargs: dict = Field(default_factory=dict)
+    num_starts: PositiveInt = Field(
+        default=1,
+        description="Independent jittered-init SVI runs executed as ONE "
+        "vmapped program (mesh-shardable via svi_mesh=); >1 defends "
+        "against ELBO local optima and fills the TPU the way chain width "
+        "does for MCMC. get_samples() draws from the best-ELBO start.",
+    )
+    svi_mesh: Any = Field(
+        default=None,
+        description="Optional jax.sharding.Mesh to shard the start axis "
+        "of a multi-start run across devices (starts are independent; "
+        "the program is collective-free).",
+    )
+    init_jitter: float = Field(
+        default=1.0,
+        description="Stddev of the per-start Gaussian jitter applied to "
+        "unconstrained guide loc inits in a multi-start run.",
+    )
 
     def infer(self, **kwargs) -> SVI:
         """Fit with SVI; extra kwargs go to the model callable."""
@@ -208,14 +227,25 @@ class SVIProcess(InferenceProcess):
             optim=self.optimizer,
             loss=Trace_ELBO(),
         )
-        svi_state = inferer.init(self.inference_prngkey, **kwargs)
-        self._inference_state = inferer.run(
-            self.inference_prngkey,
-            num_steps=self.num_iterations,
-            init_state=svi_state,
-            progress_bar=self.progress_bar,
-            **kwargs,
-        )
+        if self.num_starts > 1:
+            self._inference_state = inferer.run_multistart(
+                self.inference_prngkey,
+                num_steps=self.num_iterations,
+                num_starts=int(self.num_starts),
+                init_jitter=self.init_jitter,
+                mesh=self.svi_mesh,
+                progress_bar=self.progress_bar,
+                **kwargs,
+            )
+        else:
+            svi_state = inferer.init(self.inference_prngkey, **kwargs)
+            self._inference_state = inferer.run(
+                self.inference_prngkey,
+                num_steps=self.num_iterations,
+                init_state=svi_state,
+                progress_bar=self.progress_bar,
+                **kwargs,
+            )
         self._inference_complete = True
         self._inferer = inferer
         self._inferer_kwargs = kwargs
@@ -226,7 +256,9 @@ class SVIProcess(InferenceProcess):
     ) -> Dict[str, Array]:
         """Draw ``num_samples`` from the fitted variational posterior."""
         self._require_complete()
-        assert isinstance(self._inference_state, SVIRunResult)
+        assert isinstance(
+            self._inference_state, (SVIRunResult, SVIMultiStartResult)
+        )
         assert isinstance(self._inferer, SVI)
         predictive = Predictive(
             self._inferer.guide,

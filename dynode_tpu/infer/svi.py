@@ -41,6 +41,23 @@ class SVIRunResult(NamedTuple):
     losses: jax.Array
 
 
+class SVIMultiStartResult(NamedTuple):
+    """Result of :meth:`SVI.run_multistart`.
+
+    ``params`` holds the winning start's parameters (drop-in for
+    ``SVIRunResult.params``); the ``all_*`` fields keep the full bank for
+    multi-modality diagnostics (a bimodal final-ELBO histogram means the
+    guide found distinct optima).
+    """
+
+    params: Dict[str, Any]
+    losses: jax.Array  # (num_steps,) winning start's loss trace
+    best_idx: jax.Array  # ()
+    final_elbos: jax.Array  # (num_starts,) multi-particle final -loss
+    all_params: Dict[str, Any]  # (num_starts, ...) per-start final params
+    all_losses: jax.Array  # (num_starts, num_steps)
+
+
 class Adam:
     """optax.adam with numpyro's ``Adam(step_size=...)`` constructor shape."""
 
@@ -276,11 +293,131 @@ class SVI:
     def get_params(self, state: SVIState):
         return state.params
 
+    def run_multistart(
+        self,
+        rng_key,
+        num_steps: int,
+        num_starts: int,
+        *,
+        init_jitter: float = 1.0,
+        final_particles: int = 16,
+        mesh=None,
+        batch_axis: str = "start",
+        progress_bar: bool = False,
+        **model_kwargs,
+    ) -> SVIMultiStartResult:
+        """Run ``num_starts`` independent SVI optimizations in ONE program.
+
+        TPU-scale SVI: the whole bank (per-start jittered inits, the full
+        Adam scan, and a multi-particle final-ELBO evaluation) is a single
+        jitted ``vmap`` over the start axis -- ELBO steps across starts
+        fill the chip the way chain width does for MCMC. Pass ``mesh=`` to
+        shard the start axis over devices via GSPMD (starts are
+        independent, so the program is collective-free).
+
+        Per-start diversity: every ``*_loc`` parameter is jittered by
+        ``init_jitter``-scaled Gaussian noise in unconstrained space
+        (start 0 keeps the un-jittered init strategy); non-loc parameters
+        (scale factors) are shared at their init values. Winner selection
+        re-evaluates each start's final ELBO with ``final_particles``
+        fresh particles -- the running one-particle loss is too noisy to
+        rank near-tied optima.
+
+        The reference surface this scales up:
+        /root/reference/src/dynode/infer/inference.py:244-405 (one Adam
+        run, one init). Multi-start is the standard defense against ELBO
+        local optima, which single-init SVI silently falls into.
+        """
+        args = model_kwargs.pop("_args", ())
+        base = self.init(rng_key, _args=args, **model_kwargs)
+        key_jit, key_run, key_eval = jax.random.split(rng_key, 3)
+
+        def jitter_params(key):
+            out = {}
+            for name, v in base.params.items():
+                if name.endswith("_loc"):
+                    key, sub = jax.random.split(key)
+                    out[name] = v + init_jitter * jax.random.normal(
+                        sub, v.shape, v.dtype
+                    )
+                else:
+                    out[name] = v
+            return out
+
+        def one_start(key_init, key_steps, keep_base):
+            params0 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(keep_base, a, b),
+                base.params,
+                jitter_params(key_init),
+            )
+            state = SVIState(params0, self.optim.init(params0), key_steps)
+
+            def step(state, _):
+                state, loss_val = self.update(state, *args, **model_kwargs)
+                return state, loss_val
+
+            state, losses = jax.lax.scan(step, state, None, length=int(num_steps))
+            return state.params, losses
+
+        def final_elbo(params, key):
+            keys = jax.random.split(key, final_particles)
+            losses = jax.vmap(
+                lambda k: self.loss.loss(
+                    k, params, self.model, self.guide, *args, **model_kwargs
+                )
+            )(keys)
+            return -jnp.mean(losses)
+
+        def bank(init_keys, step_keys, eval_keys):
+            keep = jnp.arange(num_starts) == 0  # start 0 = unjittered init
+            params_all, losses_all = jax.vmap(one_start)(
+                init_keys, step_keys, keep
+            )
+            elbos = jax.vmap(final_elbo)(params_all, eval_keys)
+            return params_all, losses_all, elbos
+
+        init_keys = jax.random.split(key_jit, num_starts)
+        step_keys = jax.random.split(key_run, num_starts)
+        eval_keys = jax.random.split(key_eval, num_starts)
+        if mesh is not None:
+            from ..parallel import shard_batch
+
+            sharding = shard_batch(mesh, batch_axis)
+            init_keys = jax.device_put(init_keys, sharding)
+            step_keys = jax.device_put(step_keys, sharding)
+            eval_keys = jax.device_put(eval_keys, sharding)
+        if progress_bar:
+            print(
+                f"[dynode_tpu.SVI] compiling+running {num_starts} starts x "
+                f"{num_steps} steps..."
+            )
+        params_all, losses_all, elbos = jax.jit(bank)(
+            init_keys, step_keys, eval_keys
+        )
+        # non-finite ELBOs (diverged starts) must never win
+        elbos_ranked = jnp.where(jnp.isfinite(elbos), elbos, -jnp.inf)
+        best = jnp.argmax(elbos_ranked)
+        best_params = jax.tree_util.tree_map(lambda v: v[best], params_all)
+        if progress_bar:
+            print(
+                f"[dynode_tpu.SVI] best start {int(best)}: "
+                f"ELBO {float(elbos[best]):.4f}"
+            )
+        return SVIMultiStartResult(
+            params=best_params,
+            losses=losses_all[best],
+            best_idx=best,
+            final_elbos=elbos,
+            all_params=params_all,
+            all_losses=losses_all,
+        )
+
 
 __all__ = [
     "SVI",
     "SVIState",
     "SVIRunResult",
+    "SVIMultiStartResult",
     "Trace_ELBO",
     "Adam",
     "ClippedAdam",
