@@ -84,6 +84,56 @@ class InferenceData:
             )
         np.savez_compressed(path, **arrays)
 
+    def to_arviz(self):
+        """Build a REAL ``arviz.InferenceData`` when arviz is installed.
+
+        Reference behavior parity: the reference's ``to_arviz()`` hands back
+        a genuine ``az.InferenceData`` usable by the whole arviz toolchain
+        (plot_trace, summary, to_netcdf --
+        /root/reference/src/dynode/infer/inference.py:237-241). This
+        container stores groups with arviz's own shape conventions, so the
+        bridge is a direct ``az.from_dict``: posterior/sample_stats are
+        already (chains, draws, ...); draw-indexed groups (prior,
+        posterior_predictive, log_likelihood) gain the singleton chain
+        axis arviz expects. Raises ImportError with a pointer to
+        :meth:`to_npz` when arviz is not available.
+        """
+        try:
+            import arviz as az
+        except ImportError as e:  # pragma: no cover - exercised when absent
+            raise ImportError(
+                "arviz is not installed; install it for ecosystem interop "
+                "or use InferenceData.to_npz()/from_npz() for the "
+                "dependency-free round-trip"
+            ) from e
+
+        def chainify(group):
+            # (draws, *shape) -> (1, draws, *shape)
+            return {k: np.asarray(v)[None] for k, v in group.items()}
+
+        kwargs = {}
+        if self.posterior is not None:
+            kwargs["posterior"] = self.posterior
+        if self.sample_stats is not None:
+            kwargs["sample_stats"] = self.sample_stats
+        if self.posterior_predictive is not None:
+            kwargs["posterior_predictive"] = chainify(
+                self.posterior_predictive
+            )
+        if self.prior is not None:
+            kwargs["prior"] = chainify(self.prior)
+        if self.log_likelihood is not None:
+            kwargs["log_likelihood"] = chainify(self.log_likelihood)
+        if self.observed_data is not None:
+            kwargs["observed_data"] = self.observed_data
+        idata = az.from_dict(**kwargs)
+        if self.attrs:
+            for g in idata.groups():
+                getattr(idata, g).attrs.update(
+                    {k: str(v) for k, v in self.attrs.items()}
+                )
+        return idata
+
     @classmethod
     def from_npz(cls, path: str) -> "InferenceData":
         """Inverse of :meth:`to_npz`."""

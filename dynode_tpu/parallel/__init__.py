@@ -3,8 +3,10 @@
 from .mesh import (
     create_mesh,
     default_device_count,
+    device_put_sharded_tree,
     ensemble_sharding,
     host_batch,
+    jit_donated,
     replicated,
     shard_batch,
 )
@@ -16,4 +18,6 @@ __all__ = [
     "ensemble_sharding",
     "replicated",
     "host_batch",
+    "device_put_sharded_tree",
+    "jit_donated",
 ]

@@ -245,6 +245,7 @@ def simulate_ensemble(
     mesh=None,
     axis_name: str = "ensemble",
     layout: str = "batch_leading",
+    donate: bool = False,
 ) -> Solution:
     """Vectorize :func:`simulate` over a batch of parameter pytrees.
 
@@ -252,6 +253,11 @@ def simulate_ensemble(
     leaf (static fields stay unbatched). The whole ensemble compiles into
     one XLA program; pass ``mesh=`` to shard the batch axis across devices
     (GSPMD data parallelism -- no collectives needed).
+
+    ``donate=True`` donates the parameter batch's buffers to the solve
+    (on backends that honor donation) -- free HBM headroom when the batch
+    is regenerated per call (e.g. fresh prior draws each scenario round).
+    Do not reuse ``ode_parameters_batch`` after a donated call.
 
     ``layout`` selects the on-device data layout:
 
@@ -281,15 +287,20 @@ def simulate_ensemble(
     if layout == "lane_major":
         batch = jax.tree_util.tree_leaves(ode_parameters_batch)[0].shape[0]
         y0b = ensemble_state(initial_state, batch)
-        return simulate(
+        solve_lane = lambda params: simulate(  # noqa: E731
             ensemble_rhs(ode),
             duration_days,
             y0b,
-            ode_parameters_batch,
+            params,
             solver_parameters,
             sub_save_indices=sub_save_indices,
             save_step=save_step,
         )
+        if donate:
+            from ..parallel import jit_donated
+
+            return jit_donated(solve_lane)(ode_parameters_batch)
+        return solve_lane(ode_parameters_batch)
 
     def solve_one(params):
         return simulate(
@@ -302,6 +313,10 @@ def simulate_ensemble(
             save_step=save_step,
         )
 
+    if donate:
+        from ..parallel import jit_donated
+
+        return jit_donated(jax.vmap(solve_one))(ode_parameters_batch)
     return jax.jit(jax.vmap(solve_one))(ode_parameters_batch)
 
 

@@ -120,6 +120,42 @@ def test_idata_npz_roundtrip(mcmc_process, tmp_path):
     assert back.summary()["mu"]["r_hat"] < 1.05
 
 
+def test_idata_to_real_arviz(mcmc_process):
+    """Ecosystem interop: build a genuine az.InferenceData when arviz is
+    installed (reference behavior:
+    /root/reference/src/dynode/infer/inference.py:237-241). Skipped in
+    environments without arviz; the raise-path is asserted separately."""
+    az = pytest.importorskip("arviz")
+
+    idata = mcmc_process.to_arviz()
+    idata.attrs["model_name"] = "toy"
+    az_idata = idata.to_arviz()
+    assert isinstance(az_idata, az.InferenceData)
+    assert az_idata.posterior["mu"].shape == (2, 200)
+    assert az_idata.posterior_predictive["x"].shape[:2] == (1, 400)
+    assert az_idata.posterior.attrs["model_name"] == "toy"
+    # the whole arviz toolchain must accept it
+    summ = az.summary(az_idata)
+    assert "mu" in summ.index
+
+
+def test_idata_to_arviz_raises_without_arviz(mcmc_process, monkeypatch):
+    import builtins
+
+    # force the import failure regardless of environment
+    real_import = builtins.__import__
+
+    def no_arviz(name, *a, **k):
+        if name == "arviz":
+            raise ImportError("arviz absent (test)")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_arviz)
+    idata = mcmc_process.to_arviz()
+    with pytest.raises(ImportError, match="to_npz"):
+        idata.to_arviz()
+
+
 def test_svi_sample_shapes_and_filtering(svi_process):
     samples = svi_process.get_samples()
     assert set(samples) == {"mu", "sigma"}  # _auto_latent filtered out
