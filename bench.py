@@ -2,22 +2,28 @@
 
 Workload (BASELINE.json "scenario ensemble" config): a ~10k-wide ensemble of
 parameter-sampled multi-strain SEIRS solves (2 ages x 3 strains x 5
-compartments, 200 days, daily saves).
+compartments, 200 days, daily saves), plus the production SEIP model row and
+the ESS/sec + matched-quality inference rows.
 
-Two TPU execution paths are measured:
-1. **Pallas whole-solve-in-VMEM kernel** (primary): constant-step Tsit5 with
-   the state resident in VMEM for the entire solve (dt=0.5; self-converged
-   to ~2e-6 relative vs dt=0.125 on this workload).
-2. Generic XLA path: the adaptive engine (Tsit5 + PID at reference
-   tolerances, f32-scaled atol) under jit(vmap(...)), reported to stderr.
+Measurement discipline (round-4 hardening, VERDICT r3 items 2/6):
+- every TPU headline is the MEDIAN of 3 same-session repeats with fresh
+  inputs; the JSON carries {median, spread, n} per measurement,
+- the CPU baseline is a PINNED constant (bench_pins.json), re-measured only
+  with --remeasure-baseline -- round 1-3 re-measured it per session on a
+  loaded host, which swung vs_baseline 141x -> 67x -> 58x on an unchanged
+  program,
+- cold compile time of the headline program is measured against a pinned
+  budget so warm-cache wins cannot mask cold-path regressions,
+- XLA cost-analysis roofline: per headline path the JSON reports achieved
+  GB/s / GFLOP/s and the fraction of v5e peaks, plus what bounds the path,
+- metrics are compared against the prior round's values (bench_pins.json
+  prior_medians): anything below 0.7x is flagged loudly in "regressions".
 
-Prints one JSON line {"metric","value","unit","vs_baseline"}; vs_baseline is
-the speedup over the same constant-step program on this host's CPU backend
-(the reference framework is CPU-only -- SURVEY.md section 6 -- so
-same-workload CPU wall-clock is the honest stand-in baseline).
+Prints one JSON line {"metric","value","unit","vs_baseline",...}.
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -46,6 +52,24 @@ ENSEMBLE = 9984  # 10k rounded to the 256-lane block (BASELINE.md config)
 WIDE_ENSEMBLE = 79872
 CPU_ENSEMBLE = 256
 
+# v5e single-chip peaks (public spec; see probes/probe_seip_roofline.py)
+HBM_PEAK_GBPS = 819.0
+MXU_BF16_TFLOPS = 197.0
+MXU_F32_TFLOPS = 98.0
+
+PINS_PATH = "bench_pins.json"
+
+#: per-measurement wall-clock lists (seconds), for {median, spread, n}
+WALLS: dict = {}
+
+
+def _load_pins():
+    try:
+        with open(PINS_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
 
 def _setup():
     cfg = multistrain_config(
@@ -65,7 +89,6 @@ def _draws(n, seed=0):
     return jax.random.uniform(key, (n,), minval=0.8, maxval=1.25)
 
 
-
 def _sync(out):
     """Force execution AND completion: fetch a scalar reduction to host.
 
@@ -78,10 +101,57 @@ def _sync(out):
     return float(jnp.sum(jnp.stack([jnp.sum(x) for x in leaves if x.size])))
 
 
+def _timed_median(name, run, n, repeats=3):
+    """Median-of-``repeats`` trajectories/sec with fresh inputs per repeat.
+
+    The caller must have warmed/compiled ``run`` already. Walls are
+    recorded in :data:`WALLS` for the {median, spread, n} JSON block.
+    Fresh seeds per repeat guard against result-caching artifacts.
+    """
+    walls = []
+    for rep in range(repeats):
+        t0 = time.perf_counter()
+        _sync(run(100 + rep))
+        walls.append(time.perf_counter() - t0)
+    WALLS[name] = walls
+    return n / statistics.median(walls)
+
+
+def _measurements_block():
+    out = {}
+    for name, walls in WALLS.items():
+        med = statistics.median(walls)
+        out[name] = {
+            "median_s": round(med, 4),
+            "spread": round((max(walls) - min(walls)) / med, 3) if med else 0,
+            "n": len(walls),
+        }
+    return out
+
+
+def _roofline(compiled, wall_s):
+    """Achieved bandwidth/flops vs v5e peaks from XLA's own cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+        ba = float(ca.get("bytes accessed", float("nan")))
+        gbps = ba / wall_s / 1e9
+        tflops = flops / wall_s / 1e12
+        return {
+            "achieved_gbps": round(gbps, 1),
+            "achieved_tflops": round(tflops, 3),
+            "hbm_utilization": round(gbps / HBM_PEAK_GBPS, 4),
+            "flop_utilization_f32": round(tflops / MXU_F32_TFLOPS, 5),
+        }
+    except Exception as e:  # cost analysis unavailable on some backends
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+        return {}
+
+
 def bench_pallas(base, y0, n, repeats=3):
     def run(seed):
-        # fresh parameter draws per repeat: guards against any result
-        # caching/async artifacts in the measurement
         beta = base.beta[None, :] * _draws(n, seed)[:, None]
         return ensemble_solve_tsit5(
             y0, beta, base.sigma, base.gamma, base.omega,
@@ -89,12 +159,7 @@ def bench_pallas(base, y0, n, repeats=3):
         )
 
     _sync(run(0))  # compile
-    best = float("inf")
-    for rep in range(repeats):
-        t0 = time.perf_counter()
-        _sync(run(rep + 1))
-        best = min(best, time.perf_counter() - t0)
-    return n / best
+    return _timed_median("pallas_multistrain", run, n, repeats)
 
 
 def bench_lane_major_xla(base, y0, n, repeats=3):
@@ -114,19 +179,14 @@ def bench_lane_major_xla(base, y0, n, repeats=3):
         return sol.ys[4]
 
     _sync(run(0))
-    best = float("inf")
-    for rep in range(repeats):
-        t0 = time.perf_counter()
-        _sync(run(rep + 1))
-        best = min(best, time.perf_counter() - t0)
-    return n / best
+    return _timed_median("lane_major_xla", run, n, repeats)
 
 
-def bench_batch_leading_xla(base, y0, n, repeats=3):
+def bench_batch_leading_xla(base, y0, n, repeats=3, name="batch_leading"):
     """Batch-LEADING jit(vmap(simulate)) at constant step: the plain-JAX
-    layout. Honest fetch-based timing shows XLA handles this well at wide
-    ensembles (elementwise ops flatten across the batch), and it is
-    usually the fastest path for small-state models."""
+    layout; fastest path for small-state models at wide ensembles.
+
+    Returns (traj/s median, cold_compile_s, roofline dict)."""
     sp = multistrain_config(
         solver_params=SolverParams(constant_step_size=DT)
     ).parameters.solver_params
@@ -139,16 +199,17 @@ def bench_batch_leading_xla(base, y0, n, repeats=3):
         return sol.ys[4]
 
     fn = jax.jit(jax.vmap(solve_one))
-    _sync(fn(_draws(n)))
-    best = float("inf")
-    for rep in range(repeats):
-        t0 = time.perf_counter()
-        _sync(fn(_draws(n, rep + 1)))
-        best = min(best, time.perf_counter() - t0)
-    return n / best
+    d0 = _draws(n)
+    t0 = time.perf_counter()
+    compiled = fn.lower(d0).compile()
+    cold_compile_s = time.perf_counter() - t0
+    _sync(fn(d0))  # warm
+    tps = _timed_median(name, lambda s: fn(_draws(n, s)), n, repeats)
+    roof = _roofline(compiled, statistics.median(WALLS[name]))
+    return tps, cold_compile_s, roof
 
 
-def bench_xla_adaptive(cfg, base, y0, n, repeats=2):
+def bench_xla_adaptive(cfg, base, y0, n, repeats=3):
     sp = cfg.parameters.solver_params
 
     def solve_one(r0_scale):
@@ -160,13 +221,9 @@ def bench_xla_adaptive(cfg, base, y0, n, repeats=2):
     out = fn(_draws(n))
     jax.block_until_ready(out)
     assert int(jnp.sum(out[1] != 0)) == 0, "adaptive path exhausted budget"
-    best = float("inf")
-    for rep in range(repeats):
-        draws = _draws(n, rep + 1)
-        t0 = time.perf_counter()
-        _sync(fn(draws))
-        best = min(best, time.perf_counter() - t0)
-    return n / best
+    return _timed_median(
+        "xla_adaptive_vmap", lambda s: fn(_draws(n, s))[0], n, repeats
+    )
 
 
 def bench_lane_adaptive(cfg, base, y0, n, repeats=3):
@@ -195,16 +252,16 @@ def bench_lane_adaptive(cfg, base, y0, n, repeats=3):
     out = fn(0)
     jax.block_until_ready(out)
     assert int(jnp.sum(out[1] != 0)) == 0, "adaptive path exhausted budget"
-    best = float("inf")
-    for rep in range(repeats):
-        t0 = time.perf_counter()
-        _sync(fn(rep + 1)[0])
-        best = min(best, time.perf_counter() - t0)
-    return n / best
+    return _timed_median(
+        "lane_adaptive", lambda s: fn(s)[0], n, repeats
+    )
 
 
 def bench_cpu_adaptive(cfg, base, y0, n):
-    """Adaptive-program CPU baseline (same program as bench_xla_adaptive)."""
+    """Adaptive-program CPU baseline (same program as bench_xla_adaptive).
+
+    Run only under --remeasure-baseline; the result is pinned in
+    bench_pins.json."""
     cpu = jax.devices("cpu")[0]
     sp = cfg.parameters.solver_params
 
@@ -216,18 +273,23 @@ def bench_cpu_adaptive(cfg, base, y0, n):
     with jax.default_device(cpu):
         fn = jax.jit(jax.vmap(solve_one))
         jax.block_until_ready(fn(jax.device_put(_draws(n), cpu)))
-        draws = jax.device_put(_draws(n, 1), cpu)
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(draws))
-        return n / (time.perf_counter() - t0)
+        walls = []
+        for rep in range(3):
+            draws = jax.device_put(_draws(n, rep + 1), cpu)
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(draws))
+            walls.append(time.perf_counter() - t0)
+        WALLS["cpu_adaptive"] = walls
+        return n / statistics.median(walls)
 
 
 def bench_cpu_constant(base, y0, n):
     """Constant-step CPU baseline: the SAME numerical program as the TPU
-    headline (constant-step Tsit5, dt=DT, daily direct saves), measured in
-    both layouts (batch-leading vmap and batch-last lane-major) with the
-    better one reported -- so vs_baseline is a same-program, best-CPU-layout
-    ratio, not adaptive-vs-constant apples-to-oranges."""
+    headline, measured in both layouts with the better one reported.
+
+    Run only under --remeasure-baseline; the result is pinned in
+    bench_pins.json so session-to-session host load cannot move the
+    denominator of vs_baseline."""
     cpu = jax.devices("cpu")[0]
     sp = multistrain_config(
         solver_params=SolverParams(constant_step_size=DT)
@@ -243,9 +305,12 @@ def bench_cpu_constant(base, y0, n):
         # layout 1: batch-leading vmap of the scalar RHS
         fn = jax.jit(jax.vmap(solve_one))
         jax.block_until_ready(fn(jax.device_put(_draws(n), cpu)))
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(jax.device_put(_draws(n, 1), cpu)))
-        best = max(best, n / (time.perf_counter() - t0))
+        walls = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(jax.device_put(_draws(n, rep + 1), cpu)))
+            walls.append(time.perf_counter() - t0)
+        best = max(best, n / statistics.median(walls))
         # layout 2: batch-last lane-major ensemble RHS
         y0b = multistrain_ensemble_state(y0, n)
 
@@ -255,13 +320,18 @@ def bench_cpu_constant(base, y0, n):
 
         fn2 = jax.jit(run_lane)
         jax.block_until_ready(fn2(jax.device_put(_draws(n), cpu)))
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn2(jax.device_put(_draws(n, 1), cpu)))
-        best = max(best, n / (time.perf_counter() - t0))
+        walls = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn2(jax.device_put(_draws(n, rep + 1), cpu)))
+            walls.append(time.perf_counter() - t0)
+        best = max(best, n / statistics.median(walls))
         return best
 
 
 def main():
+    remeasure = "--remeasure-baseline" in sys.argv
+    pins = _load_pins()
     cfg, base, y0 = _setup()
 
     backend = jax.default_backend()
@@ -289,7 +359,7 @@ def main():
         print(f"[bench] lane-major XLA path failed: {e}", file=sys.stderr)
     lead_tps = 0.0
     try:
-        lead_tps = bench_batch_leading_xla(base, y0, ENSEMBLE)
+        lead_tps, _, _ = bench_batch_leading_xla(base, y0, ENSEMBLE)
         print(
             f"[bench] batch-leading jit(vmap):  {lead_tps:,.0f} traj/s",
             file=sys.stderr,
@@ -299,11 +369,16 @@ def main():
     tps = max(pallas_tps, lane_tps, lead_tps)
 
     wide_tps = 0.0
+    cold_compile_s = 0.0
+    wide_roof = {}
     try:
-        wide_tps = bench_batch_leading_xla(base, y0, WIDE_ENSEMBLE)
+        wide_tps, cold_compile_s, wide_roof = bench_batch_leading_xla(
+            base, y0, WIDE_ENSEMBLE, name="batch_leading_wide"
+        )
         print(
             f"[bench] batch-leading at saturating width "
-            f"({WIDE_ENSEMBLE}): {wide_tps:,.0f} traj/s",
+            f"({WIDE_ENSEMBLE}): {wide_tps:,.0f} traj/s "
+            f"(cold compile {cold_compile_s:.1f}s; roofline {wide_roof})",
             file=sys.stderr,
         )
     except Exception as e:
@@ -331,39 +406,43 @@ def main():
         print(f"[bench] adaptive lane-major path failed: {e}", file=sys.stderr)
     adaptive_tps = max(xla_tps, lane_adapt_tps)
 
-    # same-program ratios: constant/constant (headline) + adaptive/adaptive
-    vs_baseline = 0.0
-    vs_adaptive = 0.0
-    try:
-        cpu_const_tps = bench_cpu_constant(base, y0, CPU_ENSEMBLE)
-        vs_baseline = tps_best / cpu_const_tps
-        print(
-            f"[bench] cpu constant-step baseline (same program, best "
-            f"layout): {cpu_const_tps:,.0f} traj/s -> speedup "
-            f"{vs_baseline:.1f}x",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] cpu constant baseline failed: {e}", file=sys.stderr)
-    try:
-        cpu_adapt_tps = bench_cpu_adaptive(cfg, base, y0, CPU_ENSEMBLE)
-        vs_adaptive = adaptive_tps / cpu_adapt_tps if cpu_adapt_tps else 0.0
-        print(
-            f"[bench] cpu adaptive baseline:    {cpu_adapt_tps:,.0f} traj/s "
-            f"-> adaptive/adaptive speedup {vs_adaptive:.1f}x",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] cpu adaptive baseline failed: {e}", file=sys.stderr)
+    # ---- CPU baseline: pinned constant (re-measure only on demand) -------
+    cpu_const_tps = float(pins.get("cpu_constant_tps_256", 0.0))
+    cpu_adapt_tps = float(pins.get("cpu_adaptive_tps_256", 0.0))
+    baseline_source = "pinned" if cpu_const_tps else "missing"
+    if remeasure or not cpu_const_tps:
+        try:
+            measured_const = bench_cpu_constant(base, y0, CPU_ENSEMBLE)
+            measured_adapt = bench_cpu_adaptive(cfg, base, y0, CPU_ENSEMBLE)
+            print(
+                f"[bench] CPU re-measured: constant {measured_const:,.0f} "
+                f"adaptive {measured_adapt:,.0f} traj/s "
+                f"(pinned: {cpu_const_tps:,.0f} / {cpu_adapt_tps:,.0f}) -- "
+                f"update {PINS_PATH} deliberately if the host changed",
+                file=sys.stderr,
+            )
+            if not cpu_const_tps:
+                cpu_const_tps, cpu_adapt_tps = measured_const, measured_adapt
+                baseline_source = "measured"
+        except Exception as e:
+            print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+    vs_baseline = tps_best / cpu_const_tps if cpu_const_tps else 0.0
+    vs_adaptive = adaptive_tps / cpu_adapt_tps if cpu_adapt_tps else 0.0
+    print(
+        f"[bench] vs {baseline_source} CPU baseline "
+        f"({cpu_const_tps:,.0f} const / {cpu_adapt_tps:,.0f} adaptive "
+        f"traj/s): {vs_baseline:.1f}x constant, {vs_adaptive:.1f}x adaptive",
+        file=sys.stderr,
+    )
 
     # ---- production SEIP model row (round-3 VMEM kernel headline) -------
     # The 640-float-state SEIP model is HBM-bound on the XLA path (knee at
-    # ~4k members); the whole-solve-in-VMEM Pallas kernel keeps scaling
-    # (54.6k/72k/122k/156k traj/s at 4k/8k/16k/32k). Gate on member-for-
-    # member equivalence at B=1024 before reporting (bench_seip.py has the
-    # full layout sweep; this row makes the win driver-visible).
+    # ~4k members); the whole-solve-in-VMEM Pallas kernel keeps scaling.
+    # Gate on member-for-member equivalence at B=1024 before reporting.
     seip_tps = 0.0
     seip_xla_tps = 0.0
+    seip_roof = {}
+    seip_kernel_save_gbps = 0.0
     try:
         import numpy as np
 
@@ -399,9 +478,8 @@ def main():
 
         def seip_kernel(n, seed):
             # bf16 saves halve the HBM output buffer (the kernel's width
-            # bound) AND its DMA traffic: measured 169k traj/s at B=32768
-            # vs 133k with f32 saves at the same width (state math stays
-            # exact f32 in VMEM; probes/probe_seip_bf16_width.py)
+            # bound) AND its DMA traffic (state math stays exact f32 in
+            # VMEM; probes/probe_seip_bf16_width.py)
             return seip_ensemble_solve(
                 seip_y0, seip_base, seip_scales(n, seed),
                 duration=200, dt=0.5, save=(3,), save_dtype=jnp.bfloat16,
@@ -419,33 +497,43 @@ def main():
         )
         if mdiff > 2e-2:
             raise RuntimeError(f"kernel equivalence failed ({mdiff:.2e})")
-        xla_best = float("inf")
-        for rep in range(2):  # min-of-2: single tunnel timings can be 7x off
-            t0 = time.perf_counter()
-            _sync(seip_lead(seip_scales(1024, rep + 1)))
-            xla_best = min(xla_best, time.perf_counter() - t0)
-        seip_xla_tps = 1024 / xla_best
-        best = float("inf")
+        d1k = seip_scales(1024, 0)
+        seip_compiled = seip_lead.lower(d1k).compile()
+        seip_xla_tps = _timed_median(
+            "seip_xla_1k", lambda s: seip_lead(seip_scales(1024, s)), 1024,
+            repeats=3,
+        )
+        seip_roof = _roofline(
+            seip_compiled, statistics.median(WALLS["seip_xla_1k"])
+        )
         _sync(seip_kernel(32768, 1))  # compile at headline width
-        for rep in range(2):
-            t0 = time.perf_counter()
-            _sync(seip_kernel(32768, rep + 2))
-            best = min(best, time.perf_counter() - t0)
-        seip_tps = 32768 / best
+        seip_tps = _timed_median(
+            "seip_kernel_32k", lambda s: seip_kernel(32768, s), 32768,
+            repeats=3,
+        )
+        # the kernel's HBM traffic is by construction the save grid alone
+        # (state lives in VMEM): analytic save-DMA bandwidth
+        n_saves = 201  # daily saves over 200 days, t=0 included
+        c_elems = int(jnp.asarray(seip_y0[3]).size)
+        save_bytes = 32768 * n_saves * c_elems * 2  # bf16
+        seip_kernel_save_gbps = (
+            save_bytes / statistics.median(WALLS["seip_kernel_32k"]) / 1e9
+        )
         print(
             f"[bench] SEIP VMEM kernel (B=32768, bf16 C-only saves): "
-            f"{seip_tps:,.0f} traj/s (equivalence {mdiff:.2e}; XLA "
-            f"batch-leading at 1024: {seip_xla_tps:,.0f})",
+            f"{seip_tps:,.0f} traj/s (equivalence {mdiff:.2e}; save-DMA "
+            f"{seip_kernel_save_gbps:.1f} GB/s; XLA batch-leading at 1024: "
+            f"{seip_xla_tps:,.0f}, roofline {seip_roof})",
             file=sys.stderr,
         )
     except Exception as e:
         print(f"[bench] SEIP kernel row failed: {e}", file=sys.stderr)
 
     # ---- second half of the BASELINE.md headline: NUTS/ChEES ESS per sec
-    # and the matched-quality north-star ratio, folded into the same JSON
-    # artifact the driver captures (VERDICT round 2, item 3) -------------
+    # and the matched-quality north-star ratio ---------------------------
     ess_per_sec = 0.0
     matched_quality = matched_quality_tuned = 0.0
+    matched_quality_amortized = 0.0
     try:
         import numpy as np
 
@@ -468,33 +556,92 @@ def main():
         matched_quality, matched_quality_tuned, *_ = (
             bench_nuts.bench_matched_quality(model, obs)
         )
+        matched_quality_amortized, *_ = (
+            bench_nuts.bench_matched_quality_amortized(model, obs)
+        )
     except Exception as e:
         print(f"[bench] ESS/matched-quality measurement failed: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
+    # ---- regression gate vs prior-round medians --------------------------
+    result = {
+        "metric": "multistrain_seirs_trajectories_per_sec",
+        "value": round(tps_best, 1),
+        "unit": "traj/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline_adaptive_same_program": round(vs_adaptive, 2),
+        "baseline_source": baseline_source,
+        "ensemble_width": (
+            WIDE_ENSEMBLE if wide_tps >= tps else ENSEMBLE
+        ),
+        "value_at_10k": round(tps, 1),
+        "traj_per_sec": round(tps_best, 1),
+        "traj_per_sec_adaptive": round(adaptive_tps, 1),
+        "ess_per_sec": round(ess_per_sec, 1),
+        "matched_quality_speedup": round(matched_quality, 1),
+        "matched_quality_speedup_tuned_cpu": round(matched_quality_tuned, 1),
+        "matched_quality_speedup_tuned_cpu_amortized": round(
+            matched_quality_amortized, 1
+        ),
+        "seip_traj_per_sec": round(seip_tps, 1),
+        "seip_traj_per_sec_xla_1k": round(seip_xla_tps, 1),
+        "cold_compile_s": round(cold_compile_s, 1),
+        "roofline": {
+            # what bounds each path, in one line each (VERDICT r3 item 2)
+            "batch_leading_wide": {
+                **wide_roof,
+                "bound_by": "HBM: per-step state streams through HBM; "
+                "fusion leaves ~10x the perfect-fusion traffic",
+            },
+            "seip_xla_1k": {
+                **seip_roof,
+                "bound_by": "HBM: 640-float state x 6 stage evals x 400 "
+                "steps round-trips HBM every stage",
+            },
+            "seip_kernel_32k": {
+                "achieved_save_dma_gbps": round(seip_kernel_save_gbps, 2),
+                "bound_by": "VMEM capacity (output save buffer sets max "
+                "width) + VPU: state never touches HBM",
+            },
+        },
+        "measurements": _measurements_block(),
+    }
+
+    prior = pins.get("prior_medians", {})
+    regressions = []
+    for k, prev in prior.items():
+        cur = result.get(k, 0.0)
+        if prev and cur and cur < 0.7 * prev:
+            regressions.append(
+                {"metric": k, "prior": prev, "current": cur}
+            )
+            print(
+                f"[bench] REGRESSION: {k} = {cur:,.1f} < 0.7x prior "
+                f"median {prev:,.1f}",
+                file=sys.stderr,
+            )
+        elif prev:
+            print(
+                f"[bench] vs prior {k}: {cur:,.1f} / {prev:,.1f} "
+                f"({cur / prev:.2f}x)",
+                file=sys.stderr,
+            )
+    budget = float(pins.get("cold_compile_budget_s", 0.0))
+    if budget and cold_compile_s > budget:
+        regressions.append(
             {
-                "metric": "multistrain_seirs_trajectories_per_sec",
-                "value": round(tps_best, 1),
-                "unit": "traj/s",
-                "vs_baseline": round(vs_baseline, 2),
-                "vs_baseline_adaptive_same_program": round(vs_adaptive, 2),
-                "ensemble_width": (
-                    WIDE_ENSEMBLE if wide_tps >= tps else ENSEMBLE
-                ),
-                "value_at_10k": round(tps, 1),
-                "traj_per_sec": round(tps_best, 1),
-                "traj_per_sec_adaptive": round(adaptive_tps, 1),
-                "ess_per_sec": round(ess_per_sec, 1),
-                "matched_quality_speedup": round(matched_quality, 1),
-                "matched_quality_speedup_tuned_cpu": round(
-                    matched_quality_tuned, 1
-                ),
-                "seip_traj_per_sec": round(seip_tps, 1),
-                "seip_traj_per_sec_xla_1k": round(seip_xla_tps, 1),
+                "metric": "cold_compile_s",
+                "prior": budget,
+                "current": cold_compile_s,
             }
         )
-    )
+        print(
+            f"[bench] REGRESSION: cold compile {cold_compile_s:.1f}s exceeds "
+            f"pinned budget {budget:.1f}s",
+            file=sys.stderr,
+        )
+    result["regressions"] = regressions
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
