@@ -112,7 +112,6 @@ def _seip_kernel(
     save_stride: int,
     seasonal: bool,
     save_mask: Tuple[bool, bool, bool, bool],
-    narrow_saves: bool = False,
 ):
     n_out = sum(save_mask)
     (s0_ref, e0_ref, i0_ref, c0_ref, scale_ref) = refs[:5]
@@ -123,11 +122,17 @@ def _seip_kernel(
         k_S, k_E, k_I, k_C,
         ac_S, ac_E, ac_I, ac_C,
     ) = refs[5 + n_out:5 + n_out + 16]
-    # narrow (bf16) saves stage the downcast in VMEM before the DMA: the
-    # async copy itself cannot cast, so each saved compartment gets one
-    # half-size staging ref (refs after the 16 state scratches)
-    refs_stage = refs[5 + n_out + 16:5 + n_out + 16 + n_out * narrow_saves]
-    sem = refs[5 + n_out + 16 + n_out * narrow_saves]
+    # Saves are PIPELINED (round 4): every saved compartment is copied into
+    # a VMEM staging ref (casting to the save dtype when narrow), its DMA
+    # is STARTED, and the wait is deferred until just before the staging
+    # ref is next overwritten -- a full save_stride of RK steps later. The
+    # old stage->start->wait sequence stalled the VPU for the whole DMA at
+    # every save point, which at full-4-compartment saves quadrupled the
+    # stall. One semaphore per compartment keeps each wait tied to its own
+    # copy (a shared DMA semaphore can be satisfied by another copy's
+    # bytes, which would let a staging overwrite race an in-flight read).
+    refs_stage = refs[5 + n_out + 16:5 + n_out + 16 + n_out]
+    sem = refs[5 + n_out + 16 + n_out]
     A, J, K, M, L = dims
     blk = pl.program_id(0)
 
@@ -296,7 +301,9 @@ def _seip_kernel(
     refs_in = (s0_ref, e0_ref, i0_ref, c0_ref)
     # selective saves: unsaved compartments never touch HBM at all -- the
     # (n_saves x state x B) output buffer is what bounds ensemble width
-    # (all-4 daily saves at B=16384 is ~13.5 GB, over v5e HBM)
+    # (full-4 daily f32 saves: 640 floats x 201 saves x B = 7.9 GiB at
+    # B=16384; bf16 halves it, and packed=True output avoids the 2x
+    # unpack copy that used to push wide configs over HBM)
     refs_y_saved = tuple(
         y for y, m in zip(refs_y, save_mask) if m
     )
@@ -304,19 +311,22 @@ def _seip_kernel(
     for y, src in zip(refs_y, refs_in):
         y[...] = src[...]
 
+    def _dma(i, slot):
+        return pltpu.make_async_copy(
+            refs_stage[i],
+            refs_out_saved[i].at[slot, :, :, :, :, :, pl.ds(blk * LANE, LANE)],
+            sem.at[i],
+        )
+
+    def wait_saves(prev_slot):
+        for i in range(n_out):
+            _dma(i, prev_slot).wait()
+
     def save(slot):
-        srcs = refs_stage if narrow_saves else refs_y_saved
-        if narrow_saves:
-            for stg, y in zip(refs_stage, refs_y_saved):
-                stg[...] = y[...].astype(stg.dtype)
-        for y, out in zip(srcs, refs_out_saved):
-            dma = pltpu.make_async_copy(
-                y,
-                out.at[slot, :, :, :, :, :, pl.ds(blk * LANE, LANE)],
-                sem,
-            )
-            dma.start()
-            dma.wait()
+        for stg, y in zip(refs_stage, refs_y_saved):
+            stg[...] = y[...].astype(stg.dtype)
+        for i in range(n_out):
+            _dma(i, slot).start()
 
     save(0)
 
@@ -350,11 +360,16 @@ def _seip_kernel(
 
         @pl.when((step + 1) % save_stride == 0)
         def _():
-            save((step + 1) // save_stride)
+            slot = (step + 1) // save_stride
+            # drain the previous save's DMAs (issued a full save_stride of
+            # RK steps ago -- normally long complete) before re-staging
+            wait_saves(slot - 1)
+            save(slot)
 
         return 0
 
     jax.lax.fori_loop(0, n_steps, body, 0)
+    wait_saves(n_steps // save_stride)
 
 
 class _StaticParams:
@@ -455,7 +470,6 @@ def _solve(
     s0, e0, i0, c0 = y0_packed
     nl = scales_packed.shape[-1]
     save_dtype = jnp.dtype(save_dtype)  # accepts the hashable name string
-    narrow = save_dtype != jnp.dtype(jnp.float32)
 
     shape_S = (A, J, K, M, SUB, LANE)
     shape_E = (A, J, K, L, SUB, LANE)
@@ -474,7 +488,6 @@ def _solve(
         save_stride=save_stride,
         seasonal=seasonal,
         save_mask=save_mask,
-        narrow_saves=narrow,
     )
     grid = (nl // LANE,)
     const_spec = [
@@ -499,8 +512,10 @@ def _solve(
             pltpu.VMEM(shape_E, jnp.float32),
         ]
         * 4
-        + ([pltpu.VMEM(s, save_dtype) for s in saved_shapes] if narrow else [])
-        + [pltpu.SemaphoreType.DMA],
+        # save staging (one per saved compartment, in the save dtype): the
+        # DMA source while the live state keeps stepping (pipelined saves)
+        + [pltpu.VMEM(s, save_dtype) for s in saved_shapes]
+        + [pltpu.SemaphoreType.DMA((len(saved_shapes),))],
     )(s0, e0, i0, c0, scales_packed)
     return outs
 
@@ -515,6 +530,7 @@ def seip_ensemble_solve(
     save_every: float = 1.0,
     save: Tuple[int, ...] = (0, 1, 2, 3),
     save_dtype=jnp.float32,
+    packed: bool = False,
 ):
     """Solve a B-wide SEIP ensemble fully inside one Pallas kernel.
 
@@ -522,15 +538,24 @@ def seip_ensemble_solve(
     1024). Returns lane-major saves for the compartments in ``save``
     (ascending indices into (S, E, I, C)), each shaped
     ``(T, *compartment_shape, B)``. Restricting ``save`` matters at width:
-    the output buffer is the kernel's ONLY HBM traffic, and all-compartment
-    daily saves hit HBM capacity near B=16k (save=(3,) quarters it). Base
+    the output buffer is the kernel's ONLY HBM traffic (full-4 daily f32
+    saves are ~7.9 GiB at B=16384; ``save=(3,)`` cuts it 5x). Base
     parameters are host-fetched and compiled in (see module docstring).
     Falls back to :func:`seip_solve_reference` off-TPU.
 
-    ``save_dtype=jnp.bfloat16`` halves the output buffer again (state math
-    stays exact f32 in VMEM; only the materialized saves are rounded to
-    bf16's ~3e-3 relative grid) -- for ensemble-summary workloads where the
-    extra width matters more than save precision.
+    ``save_dtype=jnp.bfloat16`` halves the output buffer (state math stays
+    exact f32 in VMEM; only the materialized saves are rounded to bf16's
+    ~3e-3 relative grid) -- for ensemble-summary workloads where the extra
+    width matters more than save precision.
+
+    ``packed=True`` returns the kernel's native member-tile layout
+    ``(T, *compartment_shape, 8, B // 8)`` WITHOUT relayouting to
+    member-last. The relayout is a full copy of every output -- a 2x HBM
+    peak that is exactly what used to OOM full-compartment saves at
+    B >= 16k. The member axis is a fixed bijection (``unpack_members``
+    restores it, sliceable per compartment/time so the peak never
+    materializes), and member-permutation-invariant reductions (ensemble
+    means, quantiles, histograms) can consume the packed layout directly.
     """
     save = tuple(sorted(set(int(i) for i in save)))
     assert save and all(0 <= i < 4 for i in save), save
@@ -540,7 +565,8 @@ def seip_ensemble_solve(
             y0, params, beta_scales, duration=duration, dt=dt,
             save_every=save_every,
         )
-        return tuple(outs[i].astype(save_dtype) for i in save)
+        outs = tuple(outs[i].astype(save_dtype) for i in save)
+        return tuple(pack_members(o) for o in outs) if packed else outs
     assert B % BLOCK == 0, f"batch must be a multiple of {BLOCK}"
     P, dims, seasonal = _static_params(params)
     y0_packed = tuple(
@@ -564,6 +590,8 @@ def seip_ensemble_solve(
         save_mask=tuple(i in save for i in range(4)),
         save_dtype=jnp.dtype(save_dtype).name,
     )
+    if packed:
+        return tuple(outs)
     return tuple(unpack_members(o) for o in outs)
 
 

@@ -70,6 +70,34 @@ def test_bf16_saves_round_the_f32_solve():
     assert float(np.max(np.abs(a16 - a32) / denom)) < 8e-3  # bf16 grid
 
 
+def test_packed_output_is_pack_of_unpacked():
+    # packed=True must return exactly pack_members(default output): the
+    # member-tile layout contract the TPU kernel writes natively (width
+    # consumers reduce over it without the 2x relayout copy)
+    from dynode_tpu.ops.seip_pallas import seip_ensemble_solve
+
+    cfg = seip_config(
+        seasonal_vaccination=True,
+        solver_params=SolverParams(constant_step_size=0.5),
+    )
+    p = seip_odeparams(cfg)
+    y0 = seip_initial_state(cfg)
+    scales = jnp.linspace(0.9, 1.1, 1024).astype(jnp.float32)
+    plain = seip_ensemble_solve(y0, p, scales, duration=6, save=(0, 3))
+    packed = seip_ensemble_solve(
+        y0, p, scales, duration=6, save=(0, 3), packed=True
+    )
+    assert len(plain) == len(packed) == 2
+    for a, b in zip(plain, packed):
+        assert b.shape == a.shape[:-1] + (8, a.shape[-1] // 8)
+        np.testing.assert_array_equal(
+            np.asarray(pack_members(a)), np.asarray(b)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(unpack_members(b)), np.asarray(a)
+        )
+
+
 def test_pack_unpack_roundtrip():
     x = jnp.arange(3 * 5 * 2048, dtype=jnp.float32).reshape(3, 5, 2048)
     np.testing.assert_array_equal(
