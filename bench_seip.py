@@ -74,9 +74,59 @@ def _time(run, repeats=3):
     return best, compile_s
 
 
+def build_seip_lane_potential(cfg, base, y0, obs, fit_days=100):
+    """Chain-batched SEIP potential with the chain axis lane-major
+    (batch-LAST) through the solve — ``ChEES(batched_potential_fn=)``.
+
+    Round-2 measured no win for this on the SMALL multistrain model (the
+    generic vmap was already good); SEIP is the HBM-bound regime where the
+    lane-major FORWARD layout measured ~45x faster than batch-leading
+    vmap (models/seip.py note), so the same trick was tried on the
+    gradient path of the production fit. MEASURED RESULT (round 4, v5e-1):
+    wall-NEUTRAL — warm 129.9s vs the generic path's 133.7s at 1024
+    chains x (100+100), identical posterior (max err 0.007). The
+    fit's cost is reverse-mode residual traffic through the checkpointed
+    scan, which is layout-symmetric; the forward-layout advantage does not
+    transfer to gradients. Kept as a measurable row so the conclusion can
+    be re-checked when the AD path changes. Identical posterior to
+    bench_seip_fit's generic model: same prior, transform/ldj, and
+    centered Poisson likelihood.
+    """
+    import dynode_tpu.dist as dist
+    from dynode_tpu.dist.transforms import biject_to
+
+    sp = cfg.parameters.solver_params
+    L = base.beta.shape[0]
+    prior = dist.TruncatedNormal(
+        loc=jnp.ones(L), scale=0.2 * jnp.ones(L), low=0.5, high=1.8
+    )
+    t = biject_to(prior.support)
+    obs_f = jnp.asarray(obs, jnp.result_type(float))
+    center = dist.Poisson(jnp.maximum(obs_f, 1e-6)).log_prob(obs_f)
+
+    def batched_pot(zb):  # (C, L) unconstrained -> (C,) potentials
+        C = zb.shape[0]
+        scales = t(zb)
+        lp = prior.log_prob(scales).sum(-1)
+        lp += t.log_abs_det_jacobian(zb, scales).sum(-1)
+        pb = seip_ensemble_params(base, jnp.ones(C))
+        pb = pb.replace(beta=base.beta[:, None] * scales.T)  # (L, C)
+        y0b = seip_ensemble_state(y0, C)
+        sol = simulate(
+            seip_ode_ensemble, fit_days, y0b, pb, sp, sub_save_indices=(3,)
+        )
+        c = jnp.sum(sol.ys[3], axis=(1, 2, 3))  # (T+1, L, C)
+        inc = jnp.maximum(jnp.diff(c, axis=0), 1e-6)
+        inc = jnp.moveaxis(inc, -1, 0)  # (C, T, L)
+        obs_lp = dist.Poisson(inc).log_prob(obs_f[None]) - center[None]
+        return -(lp + obs_lp.sum(axis=(1, 2)))
+
+    return batched_pot
+
+
 def bench_seip_fit(
     cfg, base, y0, n_chains=1024, fit_days=100, num_warmup=100,
-    num_samples=100,
+    num_samples=100, lane_major_potential=False,
 ):
     # NB: fit_days must comfortably exceed the second strain's
     # introduction_time (60 by default) or its transmission scale is
@@ -118,8 +168,13 @@ def bench_seip_fit(
         inc = jnp.maximum(jnp.diff(forward(scales), axis=0), 1e-6)
         handlers.sample("obs", dist.Poisson(inc), obs=obs_data)
 
+    batched = (
+        build_seip_lane_potential(cfg, base, y0, obs, fit_days=fit_days)
+        if lane_major_potential
+        else None
+    )
     mcmc = MCMC(
-        ChEES(model, max_num_steps=64),
+        ChEES(model, max_num_steps=64, batched_potential_fn=batched),
         num_warmup=num_warmup,
         num_samples=num_samples,
         num_chains=n_chains,
@@ -143,10 +198,11 @@ def bench_seip_fit(
     )
     post = arr.reshape(-1, L).mean(axis=0)
     err = float(np.max(np.abs(post - np.asarray(true_scales))))
+    layout = "lane-major potential" if lane_major_potential else "generic vmap"
     print(
-        f"[bench_seip] ChEES fit: {n_chains} chains x ({num_warmup}+"
-        f"{num_samples}) through the {fit_days}d SEIP solve warm "
-        f"{wall:.1f}s (cold {cold_wall:.1f}s incl trace+compile); "
+        f"[bench_seip] ChEES fit ({layout}): {n_chains} chains x "
+        f"({num_warmup}+{num_samples}) through the {fit_days}d SEIP solve "
+        f"warm {wall:.1f}s (cold {cold_wall:.1f}s incl trace+compile); "
         f"min ESS {ess:.0f} -> {ess / wall:.0f} ESS/s; posterior "
         f"{np.round(post, 3)} (true {np.round(np.asarray(true_scales), 3)}, "
         f"max err {err:.3f})",
@@ -164,10 +220,13 @@ def main():
     y0 = seip_initial_state(cfg)
     y0b = seip_ensemble_state(y0, ENSEMBLE)
 
-    def draws(seed):
+    def draws_n(seed, n):
         return jax.random.uniform(
-            jax.random.PRNGKey(seed), (ENSEMBLE,), minval=0.85, maxval=1.2
+            jax.random.PRNGKey(seed), (n,), minval=0.85, maxval=1.2
         )
+
+    def draws(seed):
+        return draws_n(seed, ENSEMBLE)
 
     def run_lane(seed):
         sol = simulate(
@@ -364,6 +423,94 @@ def main():
         except Exception as e:
             print(f"[bench_seip] kernel full-4 path failed: {e}",
                   file=sys.stderr)
+
+    # ---- adaptive rows (VERDICT r3 item 7) --------------------------------
+    # The reference's DEFAULT solve mode is adaptive
+    # (/root/reference/src/dynode/config/params.py:36-47); until round 4 the
+    # kernel's win existed only under constant-step. Two adaptive paths:
+    # the lockstep-dt BS3(2) VMEM kernel (dt shared per 1024-member block,
+    # block-max error norm) and the XLA save-grid engine on the lane-major
+    # ensemble RHS (ONE shared dt chain across the whole bank). Tolerances
+    # rtol=1e-4 / atol=1e-3 (f32-scaled for ~1e3..1e4 populations).
+    from dynode_tpu.ops.seip_pallas import seip_ensemble_solve_adaptive
+
+    adaptive_gate_ok = False
+    try:
+        # gate: adaptive kernel vs constant-step kernel at tight dt, B=1024
+        outs_a, stats_a = seip_ensemble_solve_adaptive(
+            y0, base, draws_n(0, 1024), duration=DURATION,
+            rtol=1e-4, atol=1e-3, save=(3,), packed=True,
+        )
+        bad = int(jnp.sum(stats_a["exhausted_intervals"]))
+        outs_c = seip_ensemble_solve(
+            y0, base, draws_n(0, 1024), duration=DURATION, dt=0.05,
+            save=(3,), packed=True,
+        )
+        num = float(jnp.max(jnp.abs(outs_a[0] - outs_c[0])))
+        den = float(jnp.max(jnp.abs(outs_c[0])))
+        rel = num / den
+        adaptive_gate_ok = rel < 1e-2 and bad == 0
+        verdict = "OK" if adaptive_gate_ok else "FAILED - adaptive rows skipped"
+        print(
+            f"[bench_seip] adaptive-kernel gate vs const dt=0.05: max rel "
+            f"diff {rel:.2e}, exhausted intervals {bad} ({verdict})",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench_seip] adaptive gate failed: {e}", file=sys.stderr)
+
+    if adaptive_gate_ok:
+        try:
+            def run_adapt_kernel(seed):
+                outs, _ = seip_ensemble_solve_adaptive(
+                    y0, base, draws_n(seed, KERNEL_WIDE), duration=DURATION,
+                    rtol=1e-4, atol=1e-3, save=(3,), packed=True,
+                )
+                return outs[0]
+
+            best, compile_s = _time(run_adapt_kernel)
+            results["pallas-adaptive-kernel-max"] = KERNEL_WIDE / best
+            print(
+                f"[bench_seip] ADAPTIVE pallas kernel (lockstep BS3, "
+                f"rtol=1e-4) at {KERNEL_WIDE}: {KERNEL_WIDE / best:,.0f} "
+                f"traj/s (compile {compile_s:.0f}s)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"[bench_seip] adaptive kernel row failed: {e}",
+                  file=sys.stderr)
+        try:
+            sp_adapt = SolverParams(
+                ode_solver_rel_tolerance=1e-4,
+                ode_solver_abs_tolerance=1e-3,
+                steps_per_save=8,
+            )
+            y0w = seip_ensemble_state(y0, WIDE_ENSEMBLE)
+
+            def run_adapt_xla(seed):
+                sol = simulate(
+                    seip_ode_ensemble, DURATION, y0w,
+                    seip_ensemble_params(
+                        base, draws_n(seed, WIDE_ENSEMBLE)
+                    ),
+                    sp_adapt,
+                    sub_save_indices=(3,),
+                )
+                return sol.ys[3]
+
+            best, compile_s = _time(run_adapt_xla)
+            results["xla-adaptive-lane"] = WIDE_ENSEMBLE / best
+            print(
+                f"[bench_seip] ADAPTIVE XLA save-grid engine (lane-major, "
+                f"shared dt) at {WIDE_ENSEMBLE}: "
+                f"{WIDE_ENSEMBLE / best:,.0f} traj/s "
+                f"(compile {compile_s:.0f}s)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"[bench_seip] adaptive XLA row failed: {e}",
+                  file=sys.stderr)
+
     if not results:
         print(
             json.dumps(
@@ -384,14 +531,30 @@ def main():
         f"{tps:,.0f} traj/s ({winner})",
         file=sys.stderr,
     )
-    fit_ess_s = 0.0
+    fit_ess_s = fit_lane_ess_s = 0.0
     try:
         fit_ess_s, fit_err = bench_seip_fit(cfg, base, y0)
     except Exception as e:
         print(f"[bench_seip] fit benchmark failed: {e}", file=sys.stderr)
+    try:
+        fit_lane_ess_s, fit_lane_err = bench_seip_fit(
+            cfg, base, y0, lane_major_potential=True
+        )
+        if fit_lane_err > 0.05:
+            print(
+                f"[bench_seip] lane-major fit posterior err "
+                f"{fit_lane_err:.3f} > 0.05; voiding the row",
+                file=sys.stderr,
+            )
+            fit_lane_ess_s = 0.0
+    except Exception as e:
+        print(f"[bench_seip] lane-major fit benchmark failed: {e}",
+              file=sys.stderr)
 
     full4 = results.get("pallas-vmem-kernel-full4", 0.0)
     c_only = results.get("pallas-vmem-kernel-max", 0.0)
+    adapt_k = results.get("pallas-adaptive-kernel-max", 0.0)
+    adapt_x = results.get("xla-adaptive-lane", 0.0)
     print(
         json.dumps(
             {
@@ -399,9 +562,16 @@ def main():
                 "value": round(tps, 1),
                 "unit": "traj/s",
                 "vs_baseline": 0.0,
-                "chees_fit_ess_per_sec": round(fit_ess_s, 2),
+                "chees_fit_ess_per_sec": round(max(fit_ess_s, fit_lane_ess_s), 2),
+                "chees_fit_ess_per_sec_generic": round(fit_ess_s, 2),
+                "chees_fit_ess_per_sec_lane_major": round(fit_lane_ess_s, 2),
                 "full4_traj_per_sec": round(full4, 1),
                 "full4_vs_c_only": round(full4 / c_only, 3) if c_only else 0.0,
+                "adaptive_kernel_traj_per_sec": round(adapt_k, 1),
+                "adaptive_xla_traj_per_sec": round(adapt_x, 1),
+                "adaptive_kernel_vs_xla": (
+                    round(adapt_k / adapt_x, 2) if adapt_x else 0.0
+                ),
             }
         )
     )

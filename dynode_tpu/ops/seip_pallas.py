@@ -99,42 +99,20 @@ def _spline_scalar(t, knots, base, kcoef):
 
 
 # ---------------------------------------------------------------------------
-# the kernel
+# the shared in-kernel RHS (closure over static host parameters)
 # ---------------------------------------------------------------------------
 
 
-def _seip_kernel(
-    *refs,
-    P,  # static parameter namespace (nested tuples/floats)
-    dims,  # (A, J, K, M, L)
-    dt: float,
-    n_steps: int,
-    save_stride: int,
-    seasonal: bool,
-    save_mask: Tuple[bool, bool, bool, bool],
-):
-    n_out = sum(save_mask)
-    (s0_ref, e0_ref, i0_ref, c0_ref, scale_ref) = refs[:5]
-    refs_out_saved = refs[5:5 + n_out]
-    (
-        y_S, y_E, y_I, y_C,
-        st_S, st_E, st_I, st_C,
-        k_S, k_E, k_I, k_C,
-        ac_S, ac_E, ac_I, ac_C,
-    ) = refs[5 + n_out:5 + n_out + 16]
-    # Saves are PIPELINED (round 4): every saved compartment is copied into
-    # a VMEM staging ref (casting to the save dtype when narrow), its DMA
-    # is STARTED, and the wait is deferred until just before the staging
-    # ref is next overwritten -- a full save_stride of RK steps later. The
-    # old stage->start->wait sequence stalled the VPU for the whole DMA at
-    # every save point, which at full-4-compartment saves quadrupled the
-    # stall. One semaphore per compartment keeps each wait tied to its own
-    # copy (a shared DMA semaphore can be satisfied by another copy's
-    # bytes, which would let a staging overwrite race an in-flight read).
-    refs_stage = refs[5 + n_out + 16:5 + n_out + 16 + n_out]
-    sem = refs[5 + n_out + 16 + n_out]
+def _build_rhs(P, dims, seasonal, scale):
+    """Build the in-kernel SEIP RHS closure shared by the constant-step and
+    adaptive kernels.
+
+    ``dst``/``src`` are 4-tuples of VMEM refs in member-tile layout
+    (structure dims leading, (8, 128) member tiles trailing); ``t`` is a
+    traced scalar evaluated on the scalar unit. Semantics match
+    ``models/seip.py::seip_ode`` (reference model: /root/reference/ode_model.md:15-232).
+    """
     A, J, K, M, L = dims
-    blk = pl.program_id(0)
 
     # static coefficient tables as numpy for closure arithmetic
     contact = np.asarray(P.contact)  # (A, A)
@@ -146,8 +124,6 @@ def _seip_kernel(
     escape = np.asarray(P.escape)  # (L, J, K, M)
     eta_to = P.eta_to  # (J, L) -> target history (static ints)
     mask = np.asarray(P.intro_age_mask)  # (L, A)
-
-    scale = scale_ref[...]  # (8, 128) per-member transmission scale
 
     def rhs(dst, src, t):
         dS, dE, dI, dC = dst
@@ -293,6 +269,49 @@ def _seip_kernel(
                 w = omega[m] * S[:, :, :, m]
                 dS[:, :, :, m] = dS[:, :, :, m] - w
                 dS[:, :, :, m + 1] = dS[:, :, :, m + 1] + w
+
+    return rhs
+
+
+# ---------------------------------------------------------------------------
+# the constant-step kernel
+# ---------------------------------------------------------------------------
+
+
+def _seip_kernel(
+    *refs,
+    P,  # static parameter namespace (nested tuples/floats)
+    dims,  # (A, J, K, M, L)
+    dt: float,
+    n_steps: int,
+    save_stride: int,
+    seasonal: bool,
+    save_mask: Tuple[bool, bool, bool, bool],
+):
+    n_out = sum(save_mask)
+    (s0_ref, e0_ref, i0_ref, c0_ref, scale_ref) = refs[:5]
+    refs_out_saved = refs[5:5 + n_out]
+    (
+        y_S, y_E, y_I, y_C,
+        st_S, st_E, st_I, st_C,
+        k_S, k_E, k_I, k_C,
+        ac_S, ac_E, ac_I, ac_C,
+    ) = refs[5 + n_out:5 + n_out + 16]
+    # Saves are PIPELINED (round 4): every saved compartment is copied into
+    # a VMEM staging ref (casting to the save dtype when narrow), its DMA
+    # is STARTED, and the wait is deferred until just before the staging
+    # ref is next overwritten -- a full save_stride of RK steps later. The
+    # old stage->start->wait sequence stalled the VPU for the whole DMA at
+    # every save point, which at full-4-compartment saves quadrupled the
+    # stall. One semaphore per compartment keeps each wait tied to its own
+    # copy (a shared DMA semaphore can be satisfied by another copy's
+    # bytes, which would let a staging overwrite race an in-flight read).
+    refs_stage = refs[5 + n_out + 16:5 + n_out + 16 + n_out]
+    sem = refs[5 + n_out + 16 + n_out]
+    blk = pl.program_id(0)
+
+    scale = scale_ref[...]  # (8, 128) per-member transmission scale
+    rhs = _build_rhs(P, dims, seasonal, scale)
 
     refs_y = (y_S, y_E, y_I, y_C)
     refs_st = (st_S, st_E, st_I, st_C)
@@ -520,6 +539,530 @@ def _solve(
     return outs
 
 
+# ---------------------------------------------------------------------------
+# the adaptive (lockstep-dt) kernel
+# ---------------------------------------------------------------------------
+#
+# Bogacki-Shampine 3(2): 4 RHS evals per attempted step (same as RK4) with
+# an embedded 2nd-order error estimate. Chosen over Tsit5 for the same VMEM
+# reason RK4 was (module docstring): BS3 needs 5 live state groups
+# (y, stage input, k, y_new accumulator, error accumulator) ~= 13.1 MB at
+# 1024 members -- Tsit5's dense tableau needs 7+. To make room for the 5th
+# group the initial state moves OUT of VMEM: y0 arrives in HBM (ANY memory
+# space) and is DMA'd into the live state refs once at kernel start.
+#
+# dt is LOCKSTEP PER 1024-MEMBER BLOCK: each Pallas program carries one
+# scalar (t, dt) chain; the controller norm is the MAX over the block of
+# each member's scaled RMS error, so every member of the block satisfies
+# the tolerance and the block's dt is set by its currently-stiffest member.
+# This is the member-tile analog of the XLA save-grid engine
+# (ode/integrate.py::_solve_adaptive_grid), whose per-member dt chains pay
+# HBM traffic per stage; here the whole attempt stays VMEM-resident.
+# Controller semantics mirror the grid engine: I-controller
+# factor = clip(0.9 * norm^(-1/3), 0.2, 10), dt clamped to land EXACTLY on
+# each save point, an accepted clamped step keeps the natural dt, a
+# rejected one shrinks from the clamped size. Budget exhaustion (more than
+# steps_per_save attempts in one save interval; the FIRST interval gets
+# max(2x, 16) for the dt0 ramp) emits NaN saves from that point until the
+# block catches up and is counted loudly in the returned stats -- the same
+# contract as SolverParams.step_budget on the XLA engines.
+
+_BS3_ERR_ORDER = 3.0
+
+
+def _seip_kernel_adaptive(
+    *refs,
+    P,
+    dims,
+    n_saves: int,
+    save_every: float,
+    steps_per_save: int,
+    rtol: float,
+    atol: float,
+    dt0: float,
+    seasonal: bool,
+    save_mask: Tuple[bool, bool, bool, bool],
+):
+    n_out = sum(save_mask)
+    (s0_ref, e0_ref, i0_ref, c0_ref, scale_ref) = refs[:5]
+    refs_out_saved = refs[5:5 + n_out]
+    flag_ref = refs[5 + n_out]
+    base = 6 + n_out
+    (
+        y_S, y_E, y_I, y_C,
+        st_S, st_E, st_I, st_C,
+        k_S, k_E, k_I, k_C,
+        ac_S, ac_E, ac_I, ac_C,
+        er_S, er_E, er_I, er_C,
+    ) = refs[base:base + 20]
+    refs_stage = refs[base + 20:base + 20 + n_out]
+    sem = refs[base + 20 + n_out]
+    sem_in = refs[base + 20 + n_out + 1]
+    nrm_ref = refs[base + 20 + n_out + 2]
+    blk = pl.program_id(0)
+
+    scale = scale_ref[...]
+    rhs = _build_rhs(P, dims, seasonal, scale)
+
+    refs_y = (y_S, y_E, y_I, y_C)
+    refs_st = (st_S, st_E, st_I, st_C)
+    refs_k = (k_S, k_E, k_I, k_C)
+    refs_ac = (ac_S, ac_E, ac_I, ac_C)
+    refs_er = (er_S, er_E, er_I, er_C)
+    refs_in = (s0_ref, e0_ref, i0_ref, c0_ref)
+    refs_y_saved = tuple(y for y, m in zip(refs_y, save_mask) if m)
+
+    n_elems = sum(
+        int(np.prod(r.shape[:-2])) for r in refs_y
+    )  # state elements per member (640 for the production config)
+    eps = 1e-6 * max(float(save_every), 1.0)
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    # ---- initial state: one startup DMA per compartment (HBM -> VMEM) ----
+    for i, (src, dst) in enumerate(zip(refs_in, refs_y)):
+        pltpu.make_async_copy(src, dst, sem_in.at[i]).start()
+    for i, (src, dst) in enumerate(zip(refs_in, refs_y)):
+        pltpu.make_async_copy(src, dst, sem_in.at[i]).wait()
+
+    # ---- pipelined save DMAs (same scheme as the constant-step kernel) ---
+    def _dma(i, slot):
+        return pltpu.make_async_copy(
+            refs_stage[i],
+            refs_out_saved[i].at[slot, :, :, :, :, :, pl.ds(blk * LANE, LANE)],
+            sem.at[i],
+        )
+
+    def wait_saves(prev_slot):
+        for i in range(n_out):
+            _dma(i, prev_slot).wait()
+
+    def save(slot, reached):
+        for stg, y in zip(refs_stage, refs_y_saved):
+            v = y[...]
+            stg[...] = jnp.where(
+                reached, v, jnp.full_like(v, jnp.nan)
+            ).astype(stg.dtype)
+        for i in range(n_out):
+            _dma(i, slot).start()
+
+    def err_norm():
+        """Max over the block's members of each member's scaled RMS error."""
+        sq = None
+        for er, y, ac in zip(refs_er, refs_y, refs_ac):
+            for idx in np.ndindex(*er.shape[:-2]):
+                e = er[idx]
+                sc = atol + rtol * jnp.maximum(
+                    jnp.abs(y[idx]), jnp.abs(ac[idx])
+                )
+                r = e / sc
+                sq = r * r if sq is None else sq + r * r
+        return jnp.max(jnp.sqrt(sq * (1.0 / n_elems)))
+
+    def make_attempt(s_end):
+        def attempt(_, carry):
+            t, dt_next, na, nr = carry
+            remaining = s_end - t
+            active = remaining > eps
+            dt_used = jnp.minimum(dt_next, remaining)
+            landing = dt_used >= remaining - eps
+
+            @pl.when(active)
+            def _():
+                # k1
+                rhs(refs_k, refs_y, t)
+                for ac, y, k in zip(refs_ac, refs_y, refs_k):
+                    ac[...] = y[...] + (dt_used * (2.0 / 9.0)) * k[...]
+                for er, k in zip(refs_er, refs_k):
+                    er[...] = (dt_used * (5.0 / 72.0)) * k[...]
+                for st, y, k in zip(refs_st, refs_y, refs_k):
+                    st[...] = y[...] + (0.5 * dt_used) * k[...]
+                # k2
+                rhs(refs_k, refs_st, t + 0.5 * dt_used)
+                for ac, k in zip(refs_ac, refs_k):
+                    ac[...] = ac[...] + (dt_used / 3.0) * k[...]
+                for er, k in zip(refs_er, refs_k):
+                    er[...] = er[...] - (dt_used / 12.0) * k[...]
+                for st, y, k in zip(refs_st, refs_y, refs_k):
+                    st[...] = y[...] + (0.75 * dt_used) * k[...]
+                # k3
+                rhs(refs_k, refs_st, t + 0.75 * dt_used)
+                for ac, k in zip(refs_ac, refs_k):
+                    ac[...] = ac[...] + (dt_used * (4.0 / 9.0)) * k[...]
+                for er, k in zip(refs_er, refs_k):
+                    er[...] = er[...] - (dt_used / 9.0) * k[...]
+                # k4 = f(t+dt, y_new): the embedded 2nd-order estimate's
+                # extra stage (BS3's FSAL stage; FSAL reuse would need a
+                # 6th VMEM group to survive rejections, which doesn't fit)
+                rhs(refs_k, refs_ac, t + dt_used)
+                for er, k in zip(refs_er, refs_k):
+                    er[...] = er[...] + (dt_used / 8.0) * k[...]
+                nrm_ref[0] = err_norm()
+
+            norm = nrm_ref[0]
+            ok = jnp.isfinite(norm)
+            safe = jnp.maximum(norm, jnp.asarray(1e-30, f32))
+            # norm**(-1/3) via exp/log: Mosaic has no scalar powf lowering
+            factor = jnp.clip(
+                0.9 * jnp.exp(jnp.log(safe) * (-1.0 / _BS3_ERR_ORDER)),
+                0.2,
+                10.0,
+            )
+            factor = jnp.where(ok, factor, jnp.asarray(0.2, f32))
+            good = ok & (norm <= 1.0)
+            acc = active & good
+            # an ACCEPTED save-clamped step says nothing about the natural
+            # dt (it was artificially short): keep dt_next; a REJECTED one
+            # must shrink from the clamped size (grid-engine semantics)
+            dt_new = jnp.where(landing & good, dt_next, dt_used * factor)
+            dt_new = jnp.where(active, dt_new, dt_next)
+
+            @pl.when(acc)
+            def _():
+                for y, a in zip(refs_y, refs_ac):
+                    y[...] = a[...]
+
+            t_new = jnp.where(
+                acc, jnp.where(landing, s_end, t + dt_used), t
+            )
+            na = na + acc.astype(i32)
+            nr = nr + (active & ~acc).astype(i32)
+            return (t_new, dt_new, na, nr)
+
+        return attempt
+
+    def run_interval(carry, s_end, k_attempts):
+        t, dt, na, nr, bad = carry
+        t, dt, na, nr = jax.lax.fori_loop(
+            0, k_attempts, make_attempt(s_end), (t, dt, na, nr)
+        )
+        reached = t >= s_end - eps
+        bad = bad + (~reached).astype(i32)
+        return (t, dt, na, nr, bad), reached
+
+    save(0, jnp.asarray(True))
+
+    carry = (
+        jnp.asarray(0.0, f32),
+        jnp.asarray(dt0, f32),
+        jnp.zeros((), i32),
+        jnp.zeros((), i32),
+        jnp.zeros((), i32),
+    )
+    # first interval ramps dt up from the heuristic dt0 (no Hairer-Wanner
+    # auto-init in-kernel) AND covers the initial epidemic transient, so it
+    # gets a 4x budget (measured: rtol=1e-5 takes ~17 attempts for day one
+    # vs ~3 steady-state; the grid engine's auto-dt0 only needs 2x)
+    k_first = max(4 * steps_per_save, 32)
+    carry, reached1 = run_interval(carry, jnp.asarray(save_every, f32), k_first)
+    wait_saves(0)
+    save(1, reached1)
+
+    def outer(s, carry):
+        s_end = s.astype(f32) * save_every
+        carry, reached = run_interval(carry, s_end, steps_per_save)
+        wait_saves(s - 1)
+        save(s, reached)
+        return carry
+
+    carry = jax.lax.fori_loop(2, n_saves, outer, carry)
+    wait_saves(n_saves - 1)
+
+    _, _, na, nr, bad = carry
+    col = jax.lax.broadcasted_iota(i32, (SUB, LANE), 1)
+    flag_ref[0] = jnp.where(
+        col == 0, bad, jnp.where(col == 1, na, jnp.where(col == 2, nr, 0))
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "P", "dims", "seasonal", "duration", "save_every", "rtol", "atol",
+        "dt0", "steps_per_save", "save_mask", "save_dtype",
+    ),
+)
+def _solve_adaptive(
+    y0_packed, scales_packed, *, P, dims, seasonal, duration, save_every,
+    rtol, atol, dt0, steps_per_save, save_mask, save_dtype=jnp.float32,
+):
+    A, J, K, M, L = dims
+    n_saves = int(round(duration / save_every)) + 1
+    s0, e0, i0, c0 = y0_packed
+    nl = scales_packed.shape[-1]
+    nb = nl // LANE
+    save_dtype = jnp.dtype(save_dtype)
+
+    shape_S = (A, J, K, M, SUB, LANE)
+    shape_E = (A, J, K, L, SUB, LANE)
+    comp_shapes = (shape_S, shape_E, shape_E, shape_E)
+    saved_shapes = [s for s, m in zip(comp_shapes, save_mask) if m]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_saves,) + s[:-1] + (nl,), save_dtype)
+        for s in saved_shapes
+    ] + [jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.int32)]
+    kernel = functools.partial(
+        _seip_kernel_adaptive,
+        P=P,
+        dims=dims,
+        n_saves=n_saves,
+        save_every=save_every,
+        steps_per_save=steps_per_save,
+        rtol=rtol,
+        atol=atol,
+        dt0=dt0,
+        seasonal=seasonal,
+        save_mask=save_mask,
+    )
+    grid = (nb,)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+        + [
+            pl.BlockSpec((SUB, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(saved_shapes)
+        + [
+            pl.BlockSpec(
+                (1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(shape_S, jnp.float32),
+            pltpu.VMEM(shape_E, jnp.float32),
+            pltpu.VMEM(shape_E, jnp.float32),
+            pltpu.VMEM(shape_E, jnp.float32),
+        ]
+        * 5
+        + [pltpu.VMEM(s, save_dtype) for s in saved_shapes]
+        + [
+            pltpu.SemaphoreType.DMA((len(saved_shapes),)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SMEM((1,), jnp.float32),
+        ],
+    )(s0, e0, i0, c0, scales_packed)
+    return outs[:-1], outs[-1]
+
+
+def seip_ensemble_solve_adaptive(
+    y0,
+    params,
+    beta_scales,
+    *,
+    duration: float,
+    save_every: float = 1.0,
+    rtol: float = 1e-4,
+    atol: float = 1e-3,
+    dt0: float = None,
+    steps_per_save: int = 8,
+    save: Tuple[int, ...] = (0, 1, 2, 3),
+    save_dtype=jnp.float32,
+    packed: bool = False,
+):
+    """Adaptive (lockstep-dt) whole-solve-in-VMEM SEIP ensemble.
+
+    The adaptive analog of :func:`seip_ensemble_solve` -- Bogacki-Shampine
+    3(2) with an I-controller (the reference's DEFAULT solve mode is
+    adaptive: /root/reference/src/dynode/config/params.py:36-47), dt shared
+    across each 1024-member block and driven by the block's max per-member
+    scaled RMS error, clamped to land exactly on each save point (see the
+    kernel comment above ``_seip_kernel_adaptive`` for the full contract).
+
+    ``atol`` defaults to 1e-3 -- the f32-scaled value for ~1e3-scale
+    compartment populations (CLAUDE.md: f64-calibrated defaults make the
+    controller thrash on-chip).
+
+    Returns ``(outs, stats)``: ``outs`` as in :func:`seip_ensemble_solve`;
+    ``stats`` has per-block int32 arrays ``exhausted_intervals`` (save
+    intervals whose attempt budget ran out -- their saves are NaN; nonzero
+    means raise ``steps_per_save``), ``n_accepted``, ``n_rejected``.
+    Off-TPU falls back to :func:`seip_solve_adaptive_reference` (one global
+    lockstep block).
+    """
+    save = tuple(sorted(set(int(i) for i in save)))
+    assert save and all(0 <= i < 4 for i in save), save
+    B = int(beta_scales.shape[0])
+    n_saves = int(round(duration / save_every)) + 1
+    if abs((n_saves - 1) * save_every - duration) > 1e-6 * max(duration, 1.0):
+        raise ValueError("duration must be a multiple of save_every")
+    if dt0 is None:
+        dt0 = save_every / 8.0
+    if jax.default_backend() not in ("tpu",):
+        outs, stats = seip_solve_adaptive_reference(
+            y0, params, beta_scales, duration=duration,
+            save_every=save_every, rtol=rtol, atol=atol, dt0=dt0,
+            steps_per_save=steps_per_save,
+        )
+        outs = tuple(outs[i].astype(save_dtype) for i in save)
+        return (
+            tuple(pack_members(o) for o in outs) if packed else outs
+        ), stats
+    assert B % BLOCK == 0, f"batch must be a multiple of {BLOCK}"
+    P, dims, seasonal = _static_params(params)
+    y0_packed = tuple(
+        pack_members(
+            jnp.broadcast_to(
+                jnp.asarray(c, jnp.float32)[..., None], c.shape + (BLOCK,)
+            )
+        )
+        for c in y0
+    )
+    scales_packed = pack_members(jnp.asarray(beta_scales, jnp.float32))
+    outs, flags = _solve_adaptive(
+        y0_packed,
+        scales_packed,
+        P=P,
+        dims=dims,
+        seasonal=seasonal,
+        duration=float(duration),
+        save_every=float(save_every),
+        rtol=float(rtol),
+        atol=float(atol),
+        dt0=float(dt0),
+        steps_per_save=int(steps_per_save),
+        save_mask=tuple(i in save for i in range(4)),
+        save_dtype=jnp.dtype(save_dtype).name,
+    )
+    stats = {
+        "exhausted_intervals": flags[:, 0, 0],
+        "n_accepted": flags[:, 0, 1],
+        "n_rejected": flags[:, 0, 2],
+    }
+    if packed:
+        return tuple(outs), stats
+    return tuple(unpack_members(o) for o in outs), stats
+
+
+def seip_solve_adaptive_reference(
+    y0, params, beta_scales, *, duration, save_every=1.0, rtol=1e-4,
+    atol=1e-3, dt0=None, steps_per_save=8,
+):
+    """Pure-JAX lockstep BS3(2) reference (one global block) + CPU fallback.
+
+    Same algorithm as ``_seip_kernel_adaptive`` -- shared scalar dt over the
+    WHOLE ensemble, max-of-member-RMS controller norm, save-point clamping,
+    per-interval attempt budgets -- expressed on the lane-major ensemble RHS
+    (``seip_ode_ensemble``). Decisions can differ from the kernel's at the
+    float level (different reduction orders), so equivalence tests compare
+    both against a dense-grid oracle at the tolerance scale rather than
+    member-for-member. Returns ``(outs, stats)`` with all 4 compartments.
+    """
+    from ..models.seip import (
+        seip_ensemble_params,
+        seip_ensemble_state,
+        seip_ode_ensemble,
+    )
+
+    B = int(beta_scales.shape[0])
+    fdt = jnp.result_type(float)
+    p = seip_ensemble_params(params, jnp.asarray(beta_scales, fdt))
+    y0e = seip_ensemble_state(tuple(jnp.asarray(c, fdt) for c in y0), B)
+    n_saves = int(round(duration / save_every)) + 1
+    k = int(steps_per_save)
+    k_first = max(4 * k, 32)  # matches _seip_kernel_adaptive's ramp budget
+    dt0 = float(save_every / 8.0 if dt0 is None else dt0)
+    eps = 1e-6 * max(float(save_every), 1.0)
+    n_elems = sum(int(np.prod(c.shape[:-1])) for c in y0e)
+    n_ax = len(y0e[0].shape) - 1
+
+    def rhs(t, y):
+        return seip_ode_ensemble(t, y, p)
+
+    def tsel(pred, a, b):
+        return jax.tree_util.tree_map(
+            lambda x, z: jnp.where(pred, x, z), a, b
+        )
+
+    def attempt(_, carry):
+        t, dt_next, y, na, nr, s_end = carry
+        remaining = s_end - t
+        active = remaining > eps
+        dt = jnp.minimum(dt_next, remaining)
+        landing = dt >= remaining - eps
+        k1 = rhs(t, y)
+        y2 = tuple(a + (0.5 * dt) * b for a, b in zip(y, k1))
+        k2 = rhs(t + 0.5 * dt, y2)
+        y3 = tuple(a + (0.75 * dt) * b for a, b in zip(y, k2))
+        k3 = rhs(t + 0.75 * dt, y3)
+        ynew = tuple(
+            a + dt * ((2.0 / 9.0) * b1 + (1.0 / 3.0) * b2 + (4.0 / 9.0) * b3)
+            for a, b1, b2, b3 in zip(y, k1, k2, k3)
+        )
+        k4 = rhs(t + dt, ynew)
+        sq = jnp.zeros((B,), fdt)
+        for a, b1, b2, b3, b4, yn in zip(y, k1, k2, k3, k4, ynew):
+            e = dt * (
+                (5.0 / 72.0) * b1
+                - (1.0 / 12.0) * b2
+                - (1.0 / 9.0) * b3
+                + (1.0 / 8.0) * b4
+            )
+            sc = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(yn))
+            r = e / sc
+            sq = sq + jnp.sum(r * r, axis=tuple(range(n_ax)))
+        norm = jnp.max(jnp.sqrt(sq / n_elems))
+        ok = jnp.isfinite(norm)
+        safe = jnp.maximum(norm, jnp.asarray(1e-30, fdt))
+        factor = jnp.clip(0.9 * safe ** (-1.0 / _BS3_ERR_ORDER), 0.2, 10.0)
+        factor = jnp.where(ok, factor, jnp.asarray(0.2, fdt))
+        good = ok & (norm <= 1.0)
+        acc = active & good
+        dt_new = jnp.where(landing & good, dt_next, dt * factor)
+        dt_new = jnp.where(active, dt_new, dt_next)
+        y = tsel(acc, ynew, y)
+        t = jnp.where(acc, jnp.where(landing, s_end, t + dt), t)
+        na = na + acc.astype(jnp.int32)
+        nr = nr + (active & ~acc).astype(jnp.int32)
+        return (t, dt_new, y, na, nr, s_end)
+
+    @jax.jit
+    def solve():
+        zero = jnp.zeros((), jnp.int32)
+
+        def interval(carry, s_end, kk):
+            t, dt, y, na, nr, bad = carry
+            t, dt, y, na, nr, _ = jax.lax.fori_loop(
+                0, kk, attempt, (t, dt, y, na, nr, s_end)
+            )
+            reached = t >= s_end - eps
+            bad = bad + (~reached).astype(jnp.int32)
+            emit = jax.tree_util.tree_map(
+                lambda leaf: jnp.where(
+                    reached, leaf, jnp.full_like(leaf, jnp.nan)
+                ),
+                y,
+            )
+            return (t, dt, y, na, nr, bad), emit
+
+        carry = (
+            jnp.asarray(0.0, fdt), jnp.asarray(dt0, fdt), y0e, zero, zero,
+            zero,
+        )
+        carry, emit1 = interval(carry, jnp.asarray(save_every, fdt), k_first)
+
+        def scan_body(c, s_end):
+            return interval(c, s_end, k)
+
+        s_ends = jnp.arange(2, n_saves, dtype=fdt) * save_every
+        carry, emits = jax.lax.scan(scan_body, carry, s_ends)
+        outs = tuple(
+            jnp.concatenate([c0[None], e1[None], es], axis=0)
+            for c0, e1, es in zip(y0e, emit1, emits)
+        )
+        _, _, _, na, nr, bad = carry
+        return outs, bad[None], na[None], nr[None]
+
+    outs, bad, na, nr = solve()
+    stats = {
+        "exhausted_intervals": bad,
+        "n_accepted": na,
+        "n_rejected": nr,
+    }
+    return outs, stats
+
+
 def seip_ensemble_solve(
     y0,
     params,
@@ -646,7 +1189,9 @@ def seip_solve_reference(
 
 __all__ = [
     "seip_ensemble_solve",
+    "seip_ensemble_solve_adaptive",
     "seip_solve_reference",
+    "seip_solve_adaptive_reference",
     "pack_members",
     "unpack_members",
     "BLOCK",
