@@ -529,6 +529,54 @@ def main():
     except Exception as e:
         print(f"[bench] SEIP kernel row failed: {e}", file=sys.stderr)
 
+    # ---- adaptive lockstep kernel (round 4): the reference's DEFAULT
+    # solve mode, in-kernel (BS3(2), dt shared per 1024-member block) ----
+    seip_adaptive_tps = 0.0
+    try:
+        import numpy as np
+
+        from dynode_tpu.ops.seip_pallas import seip_ensemble_solve_adaptive
+
+        def seip_kernel_adaptive(n, seed):
+            outs, stats = seip_ensemble_solve_adaptive(
+                seip_y0, seip_base, seip_scales(n, seed),
+                duration=200, rtol=1e-4, atol=1e-3, save=(3,),
+                save_dtype=jnp.bfloat16, packed=True,
+            )
+            return outs[0], stats
+
+        # gate: tolerance-level agreement with the (already-gated)
+        # constant-step kernel at B=1024, plus zero exhausted intervals
+        ka, st = seip_kernel_adaptive(1024, 0)
+        kc2 = seip_ensemble_solve(
+            seip_y0, seip_base, seip_scales(1024, 0),
+            duration=200, dt=0.5, save=(3,), save_dtype=jnp.bfloat16,
+            packed=True,
+        )[0]
+        bad = int(np.asarray(st["exhausted_intervals"]).sum())
+        anum = float(jnp.max(jnp.abs(
+            ka.astype(jnp.float32) - kc2.astype(jnp.float32)
+        )))
+        aden = float(jnp.max(jnp.abs(kc2.astype(jnp.float32))))
+        adiff = anum / aden
+        if adiff > 2e-2 or bad:
+            raise RuntimeError(
+                f"adaptive gate failed (rel {adiff:.2e}, exhausted {bad})"
+            )
+        _sync(seip_kernel_adaptive(32768, 1)[0])
+        seip_adaptive_tps = _timed_median(
+            "seip_kernel_adaptive_32k",
+            lambda s: seip_kernel_adaptive(32768, s)[0], 32768, repeats=3,
+        )
+        print(
+            f"[bench] SEIP ADAPTIVE kernel (lockstep BS3, rtol=1e-4, "
+            f"B=32768, bf16 C-only saves): {seip_adaptive_tps:,.0f} traj/s "
+            f"(gate rel {adiff:.2e} vs const kernel)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] SEIP adaptive kernel row failed: {e}", file=sys.stderr)
+
     # ---- second half of the BASELINE.md headline: NUTS/ChEES ESS per sec
     # and the matched-quality north-star ratio ---------------------------
     ess_per_sec = 0.0
@@ -562,6 +610,22 @@ def main():
     except Exception as e:
         print(f"[bench] ESS/matched-quality measurement failed: {e}", file=sys.stderr)
 
+    # ---- SVI as a first-class inference path (VERDICT r3 item 5) --------
+    svi_steps_s = svi_err = 0.0
+    try:
+        svi_steps_s, _, _, svi_err, _ = bench_nuts.bench_svi(
+            model, obs, true_scales
+        )
+        if svi_err > 0.05:
+            print(
+                f"[bench] SVI posterior err {svi_err:.3f} > 0.05 gate; "
+                "voiding the SVI row",
+                file=sys.stderr,
+            )
+            svi_steps_s = 0.0
+    except Exception as e:
+        print(f"[bench] SVI measurement failed: {e}", file=sys.stderr)
+
     # ---- regression gate vs prior-round medians --------------------------
     result = {
         "metric": "multistrain_seirs_trajectories_per_sec",
@@ -583,7 +647,10 @@ def main():
             matched_quality_amortized, 1
         ),
         "seip_traj_per_sec": round(seip_tps, 1),
+        "seip_traj_per_sec_adaptive_kernel": round(seip_adaptive_tps, 1),
         "seip_traj_per_sec_xla_1k": round(seip_xla_tps, 1),
+        "svi_elbo_steps_per_sec": round(svi_steps_s, 1),
+        "svi_posterior_max_err": round(svi_err, 4),
         "cold_compile_s": round(cold_compile_s, 1),
         "roofline": {
             # what bounds each path, in one line each (VERDICT r3 item 2)

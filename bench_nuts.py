@@ -481,6 +481,62 @@ def bench_matched_quality_amortized(model, obs, num_samples_cpu=100):
     return speedup, cpu_wall, cpu_ess, tpu_wall, tpu_ess
 
 
+def bench_svi(model, obs, true_scales, num_starts=1024, num_steps=300):
+    """TPU-scale SVI row (VERDICT r3 item 5): the vmapped multi-start bank.
+
+    The reference treats SVI as a co-equal inference path
+    (/root/reference/src/dynode/infer/inference.py:244-405); here the bank
+    runs ``num_starts`` independently-initialized AutoMultivariateNormal
+    optimizations as ONE program (infer/svi.py::run_multistart). Reports
+    ELBO-steps/s (starts x steps / warm wall; warm = compiled bank reused
+    via the multistart exec cache, median of 3 fresh-seed re-fits), the
+    cold wall, the cross-start final-ELBO spread (a multi-modality
+    diagnostic single-init SVI never sees), and the winning start's
+    posterior-mean error vs the generating parameters (quality gate 0.05,
+    same as the ChEES row).
+    """
+    from dynode_tpu.infer.predictive import Predictive
+    from dynode_tpu.infer.svi import (
+        SVI, Adam, AutoMultivariateNormal, Trace_ELBO,
+    )
+
+    guide = AutoMultivariateNormal(model)
+    svi = SVI(model, guide, Adam(step_size=0.1), Trace_ELBO())
+
+    def once(seed):
+        t0 = time.perf_counter()
+        res = svi.run_multistart(
+            jax.random.PRNGKey(seed), num_steps=num_steps,
+            num_starts=num_starts, obs=obs,
+        )
+        elbos = np.asarray(res.final_elbos)  # host fetch = tunnel-safe sync
+        return time.perf_counter() - t0, res, elbos
+
+    cold_wall, res, elbos = once(70)
+    walls = []
+    for seed in (71, 72, 73):
+        w, res, elbos = once(seed)
+        walls.append(w)
+    warm_wall = float(np.median(walls))
+    finite = elbos[np.isfinite(elbos)]
+    spread = float(finite.max() - finite.min()) if finite.size else float("nan")
+
+    predictive = Predictive(guide, params=res.params, num_samples=2000)
+    samples = predictive(jax.random.PRNGKey(99), obs=obs)
+    post = np.asarray(samples["r0_scales"]).reshape(-1, len(true_scales))
+    err = float(np.max(np.abs(post.mean(axis=0) - np.asarray(true_scales))))
+    steps_per_sec = num_starts * num_steps / warm_wall
+    print(
+        f"[bench_nuts] SVI multi-start: {num_starts} starts x {num_steps} "
+        f"steps warm {warm_wall:.1f}s (cold {cold_wall:.1f}s) -> "
+        f"{steps_per_sec:,.0f} ELBO-steps/s; {finite.size}/{num_starts} "
+        f"starts finite, ELBO spread {spread:.1f} nats; posterior max err "
+        f"{err:.3f} (gate 0.05)",
+        file=sys.stderr,
+    )
+    return steps_per_sec, cold_wall, warm_wall, err, spread
+
+
 def main():
     model, forward = build_model()
     true_scales = jnp.array([1.1, 0.95, 1.05])
@@ -615,6 +671,19 @@ def main():
             file=sys.stderr,
         )
 
+    svi_steps_s = svi_err = 0.0
+    try:
+        svi_steps_s, _, _, svi_err, _ = bench_svi(model, obs, true_scales)
+        if svi_err > 0.05:
+            print(
+                f"[bench_nuts] WARNING: SVI posterior err {svi_err:.3f} "
+                "exceeds the 0.05 gate; zeroing the SVI row",
+                file=sys.stderr,
+            )
+            svi_steps_s = 0.0
+    except Exception as e:
+        print(f"[bench_nuts] SVI bench failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -638,6 +707,8 @@ def main():
                     "to reach >= the same min ESS (1024-chain ChEES bank); "
                     "_tuned_cpu uses this repo's best CPU NUTS instead"
                 ),
+                "svi_elbo_steps_per_sec": round(svi_steps_s, 1),
+                "svi_posterior_max_err": round(svi_err, 4),
             }
         )
     )
