@@ -1,5 +1,6 @@
 """Device-mesh topology and sharding helpers (chain / ensemble parallelism)."""
 
+from .distributed import create_hybrid_mesh, initialize_distributed
 from .mesh import (
     create_mesh,
     default_device_count,
@@ -20,4 +21,6 @@ __all__ = [
     "host_batch",
     "device_put_sharded_tree",
     "jit_donated",
+    "initialize_distributed",
+    "create_hybrid_mesh",
 ]
