@@ -443,6 +443,7 @@ def main():
     seip_xla_tps = 0.0
     seip_roof = {}
     seip_kernel_save_gbps = 0.0
+    seip_adaptive_save_gbps = 0.0
     try:
         import numpy as np
 
@@ -568,10 +569,15 @@ def main():
             "seip_kernel_adaptive_32k",
             lambda s: seip_kernel_adaptive(32768, s)[0], 32768, repeats=3,
         )
+        seip_adaptive_save_gbps = (
+            32768 * 201 * int(jnp.asarray(seip_y0[3]).size) * 2
+            / statistics.median(WALLS["seip_kernel_adaptive_32k"]) / 1e9
+        )
         print(
             f"[bench] SEIP ADAPTIVE kernel (lockstep BS3, rtol=1e-4, "
             f"B=32768, bf16 C-only saves): {seip_adaptive_tps:,.0f} traj/s "
-            f"(gate rel {adiff:.2e} vs const kernel)",
+            f"(gate rel {adiff:.2e} vs const kernel; save-DMA "
+            f"{seip_adaptive_save_gbps:.1f} GB/s)",
             file=sys.stderr,
         )
     except Exception as e:
@@ -668,6 +674,11 @@ def main():
                 "achieved_save_dma_gbps": round(seip_kernel_save_gbps, 2),
                 "bound_by": "VMEM capacity (output save buffer sets max "
                 "width) + VPU: state never touches HBM",
+            },
+            "seip_kernel_adaptive_32k": {
+                "achieved_save_dma_gbps": round(seip_adaptive_save_gbps, 2),
+                "bound_by": "VPU: ~1.2 accepted BS3 steps/day (4 RHS evals "
+                "+ error norm each) all VMEM-resident; HBM = save grid",
             },
         },
         "measurements": _measurements_block(),

@@ -175,7 +175,7 @@ def _build_rhs(P, dims, seasonal, scale):
             for l in range(L):
                 v = jnp.sum(I[a, :, :, l], axis=(0, 1))
                 if pulses[l] is not None and mask[l, a] != 0.0:
-                    v = v + pulses[l] * (mask[l, a] * pop[a])
+                    v = v + pulses[l] * float(mask[l, a] * pop[a])
                 row.append(v)
             inf_al.append(row)
         lam = []
@@ -184,9 +184,9 @@ def _build_rhs(P, dims, seasonal, scale):
             for l in range(L):
                 mixed = None
                 for b in range(A):
-                    term = contact[a, b] * inf_al[b][l]
+                    term = float(contact[a, b]) * inf_al[b][l]
                     mixed = term if mixed is None else mixed + term
-                row.append((beta[l] / pop[a]) * season * scale * mixed)
+                row.append(float(beta[l] / pop[a]) * season * scale * mixed)
             lam.append(row)
 
         # ---- S: infection out; E/I/C: exposure chain ---------------------
@@ -235,14 +235,14 @@ def _build_rhs(P, dims, seasonal, scale):
         for j in range(J):
             for l in range(L):
                 h = eta_to[j][l]
-                dS[:, h, :, 0] = dS[:, h, :, 0] + gamma[l] * I[:, j, :, l]
+                dS[:, h, :, 0] = dS[:, h, :, 0] + float(gamma[l]) * I[:, j, :, l]
 
         # ---- vaccination uptake (state-dependent saturated rates) --------
         for a in range(A):
             for kk in range(K):
                 sbd = jnp.sum(S[a, :, kk, :], axis=(0, 1))  # (8,128)
                 rate = jnp.minimum(
-                    nu[a][kk] * pop[a] / jnp.maximum(sbd, 1e-8), 1.0
+                    nu[a][kk] * float(pop[a]) / jnp.maximum(sbd, 1e-8), 1.0
                 )
                 if kk < K - 1:
                     out = rate * S[a, :, kk, :]  # (J,M,8,128)
@@ -266,7 +266,7 @@ def _build_rhs(P, dims, seasonal, scale):
         # ---- waning chain m -> m+1 (omega[M-1] == 0) ---------------------
         for m in range(M - 1):
             if omega[m] != 0.0:
-                w = omega[m] * S[:, :, :, m]
+                w = float(omega[m]) * S[:, :, :, m]
                 dS[:, :, :, m] = dS[:, :, :, m] - w
                 dS[:, :, :, m + 1] = dS[:, :, :, m + 1] + w
 
@@ -819,7 +819,7 @@ def _solve_adaptive(
         kernel,
         out_shape=out_shapes,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
         + [
             pl.BlockSpec((SUB, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
