@@ -87,6 +87,7 @@ from .utils import (
     date_to_epi_week,
     date_to_sim_day,
     drop_keys_with_substring,
+    enable_compilation_cache,
     evaluate_cubic_spline,
     flatten_list_parameters,
     identify_distribution_indexes,

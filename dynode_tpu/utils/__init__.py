@@ -3,6 +3,10 @@
 (reference: src/dynode/utils/__init__.py:5-53)
 """
 
+from .compilation_cache import (
+    compilation_cache_dir,
+    enable_compilation_cache,
+)
 from .custom_log_formatter import CustomLogFormatter
 from .datetime_utils import (
     date_to_epi_week,
@@ -23,6 +27,8 @@ from .utils import (
 )
 
 __all__ = [
+    "enable_compilation_cache",
+    "compilation_cache_dir",
     "use_logging",
     "logger",
     "log_decorator",
