@@ -50,6 +50,10 @@ ENSEMBLE = 9984  # 10k rounded to the 256-lane block (BASELINE.md config)
 # 10k -> 552k at 40k -> 623k at 80k -> 635k at 160k): the 10k workload
 # under-fills the chip, so the headline is also measured at the knee
 WIDE_ENSEMBLE = 79872
+# the VMEM kernel saturates later than XLA (sequential grid blocks: wider
+# just adds blocks at full rate): 1.24M traj/s at 80k -> 1.87M at 160k
+# (quiet tunnel, auto block_b=2048); 320k OOMs the (T, D, B) save buffer
+KERNEL_WIDE_ENSEMBLE = 163840
 CPU_ENSEMBLE = 256
 
 # v5e single-chip peaks (public spec; see probes/probe_seip_roofline.py)
@@ -150,7 +154,10 @@ def _roofline(compiled, wall_s):
         return {}
 
 
-def bench_pallas(base, y0, n, repeats=3):
+def bench_pallas(base, y0, n, repeats=3, name="pallas_multistrain"):
+    """Whole-solve VMEM kernel; block_b auto-selects (1024+ lanes at wide
+    widths -- the round-4 block sweep's 1.8x lever, see
+    probes/probe_multistrain_block_sweep.py)."""
     def run(seed):
         beta = base.beta[None, :] * _draws(n, seed)[:, None]
         return ensemble_solve_tsit5(
@@ -158,8 +165,46 @@ def bench_pallas(base, y0, n, repeats=3):
             base.contact_matrix, batch=n, duration=DURATION, dt=DT,
         )
 
-    _sync(run(0))  # compile
-    return _timed_median("pallas_multistrain", run, n, repeats)
+    out = run(0)  # compile
+    s = _sync(out)
+    assert jnp.isfinite(jnp.asarray(s)), "pallas kernel produced non-finite"
+    return _timed_median(name, run, n, repeats)
+
+
+def bench_generic_kernel(base, y0, n, repeats=3, name="generic_kernel"):
+    """Round-4 generic rows-RHS whole-solve engine, production-shaped: per
+    repeat a FRESH parameter draw is packed and solved inside ONE jitted
+    program (packing fuses with the kernel launch instead of dispatching
+    eager transposes -- the specialized-entry rows pay that eagerly)."""
+    import dynode_tpu.ops.multistrain_pallas as mp
+    from dynode_tpu.ops import ensemble_solve_kernel
+
+    A, K = mp.A_DIM, mp.K_DIM
+    contact = tuple(
+        tuple(float(v) for v in row)
+        for row in jnp.asarray(base.contact_matrix).tolist()
+    )
+
+    def rhs(y, p, t):
+        return mp._rhs_rows(
+            y, contact, p[:K], p[K:2 * K], p[2 * K:3 * K], p[3 * K:4 * K],
+            A, K,
+        )
+
+    y_packed = mp.pack_state(y0, n)
+
+    @jax.jit
+    def fused(yp, scales):
+        beta = base.beta[None, :] * scales[:, None]
+        pp = mp.pack_params(beta, base.sigma, base.gamma, base.omega, n)
+        return ensemble_solve_kernel(rhs, yp, pp, duration=DURATION, dt=DT)
+
+    def run(seed):
+        return fused(y_packed, _draws(n, seed))
+
+    s = _sync(run(0))  # compile
+    assert jnp.isfinite(jnp.asarray(s)), "generic kernel produced non-finite"
+    return _timed_median(name, run, n, repeats)
 
 
 def bench_lane_major_xla(base, y0, n, repeats=3):
@@ -383,7 +428,47 @@ def main():
         )
     except Exception as e:
         print(f"[bench] wide-ensemble path failed: {e}", file=sys.stderr)
-    tps_best = max(tps, wide_tps)
+
+    pallas_wide_tps = 0.0
+    try:
+        pallas_wide_tps = bench_pallas(
+            base, y0, WIDE_ENSEMBLE, name="pallas_multistrain_wide"
+        )
+        print(
+            f"[bench] pallas kernel at XLA-comparable width "
+            f"({WIDE_ENSEMBLE}, auto block_b): {pallas_wide_tps:,.0f} "
+            "traj/s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] wide pallas path failed: {e}", file=sys.stderr)
+    pallas_max_tps = 0.0
+    try:
+        pallas_max_tps = bench_pallas(
+            base, y0, KERNEL_WIDE_ENSEMBLE, name="pallas_multistrain_max"
+        )
+        print(
+            f"[bench] pallas kernel at kernel-saturating width "
+            f"({KERNEL_WIDE_ENSEMBLE}): {pallas_max_tps:,.0f} traj/s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] kernel-saturating pallas path failed: {e}",
+              file=sys.stderr)
+    generic_tps = 0.0
+    try:
+        generic_tps = bench_generic_kernel(
+            base, y0, KERNEL_WIDE_ENSEMBLE, name="generic_kernel_max"
+        )
+        print(
+            f"[bench] generic rows-RHS kernel, fused pack+solve "
+            f"({KERNEL_WIDE_ENSEMBLE}): {generic_tps:,.0f} traj/s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] generic kernel path failed: {e}", file=sys.stderr)
+    tps_best = max(tps, wide_tps, pallas_wide_tps, pallas_max_tps,
+                   generic_tps)
 
     xla_tps = 0.0
     try:
@@ -641,10 +726,15 @@ def main():
         "vs_baseline_adaptive_same_program": round(vs_adaptive, 2),
         "baseline_source": baseline_source,
         "ensemble_width": (
-            WIDE_ENSEMBLE if wide_tps >= tps else ENSEMBLE
+            KERNEL_WIDE_ENSEMBLE
+            if tps_best in (pallas_max_tps, generic_tps)
+            else (WIDE_ENSEMBLE if tps_best > tps else ENSEMBLE)
         ),
         "value_at_10k": round(tps, 1),
         "traj_per_sec": round(tps_best, 1),
+        "traj_per_sec_pallas_wide": round(pallas_wide_tps, 1),
+        "traj_per_sec_pallas_max": round(pallas_max_tps, 1),
+        "traj_per_sec_generic_kernel": round(generic_tps, 1),
         "traj_per_sec_adaptive": round(adaptive_tps, 1),
         "ess_per_sec": round(ess_per_sec, 1),
         "matched_quality_speedup": round(matched_quality, 1),
@@ -664,6 +754,14 @@ def main():
                 **wide_roof,
                 "bound_by": "HBM: per-step state streams through HBM; "
                 "fusion leaves ~10x the perfect-fusion traffic",
+            },
+            "pallas_multistrain_wide": {
+                "bound_by": "VPU + sequential grid-block loop: state is "
+                "VMEM-resident, HBM = save grid; wide lane blocks "
+                "(auto block_b=2048) amortize per-step loop overhead "
+                "(sweep: 657k @256 lanes -> 1,240k @2048, B=79872; "
+                "kernel saturates ~160k members at ~1.87M; 320k OOMs "
+                "the (T,D,B) save buffer)",
             },
             "seip_xla_1k": {
                 **seip_roof,

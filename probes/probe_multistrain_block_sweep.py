@@ -7,6 +7,17 @@ throughput is flat in ensemble width at fixed block_b; the lever is the
 block size. This sweep asks whether bigger blocks close the gap to the
 XLA batch-leading path at saturating width (~500k traj/s at 80k).
 
+Measured (v5e tunnel, 2026-08-18):
+  B=9984:  180k @256, 153k @4992, 212k @9984 (one whole-array block)
+  B=79872: 657k @256, 1,189k @1024, 1,193k @4992, 1,127k @9984,
+           1,200-1,300k @2048 (follow-up runs)
+  B=81920: 1,239k @2048 > 1,130k @4096
+  B=163840 (interleaved, quiet window): 1,866k @2048 == 1,868k @4096
+  B=327680: RESOURCE_EXHAUSTED (the (T, D, B) f32 save buffer)
+Conclusions now productized: ensemble_solve_tsit5(block_b=None) auto-picks
+via pick_block_b (2048 preferred), and bench.py carries both an
+XLA-comparable 79872-wide row and a kernel-saturating 163840 row.
+
 Usage: python probes/probe_multistrain_block_sweep.py
 """
 

@@ -185,3 +185,41 @@ def test_2d_tile_kernel_matches_row_reference(setup):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-4
     )
+
+
+def test_pick_block_b_prefers_measured_sweet_spot():
+    # 2048-lane blocks are the measured v5e optimum (block sweep probe);
+    # fall down the divisor ladder when batch isn't 2048-aligned
+    assert mp.pick_block_b(79872) == 2048   # 39 * 2048
+    assert mp.pick_block_b(163840) == 2048
+    assert mp.pick_block_b(1024) == 1024
+    assert mp.pick_block_b(9984) == 256     # 39 * 256, not 512-aligned
+    assert mp.pick_block_b(512) == 512
+    # auto-pick (block_b=None) must produce a valid divisor in all cases
+    for b in (256, 768, 9984, 79872):
+        assert b % mp.pick_block_b(b) == 0
+
+
+def test_auto_block_b_interpret_matches_reference(setup):
+    """block_b=None routes through pick_block_b and stays member-exact."""
+    import functools as ft
+    import unittest.mock as um
+
+    _, p, y0 = setup
+    orig = pl.pallas_call
+    mp.pl.pallas_call = ft.partial(orig, interpret=True)
+    try:
+        with um.patch.object(mp.jax, "default_backend", lambda: "tpu"):
+            out = mp.ensemble_solve_tsit5(
+                y0, p.beta, p.sigma, p.gamma, p.omega, p.contact_matrix,
+                batch=512, duration=10.0, dt=0.5,  # auto block_b -> 512
+            )
+    finally:
+        mp.pl.pallas_call = orig
+    ref = mp.ensemble_solve_reference(
+        y0, p.beta, p.sigma, p.gamma, p.omega, p.contact_matrix,
+        batch=512, duration=10.0, dt=0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-4
+    )

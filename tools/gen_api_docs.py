@@ -30,6 +30,7 @@ MODULES = [
     "dynode_tpu.models.seirs",
     "dynode_tpu.models.multistrain",
     "dynode_tpu.models.seip",
+    "dynode_tpu.ops.generic_pallas",
     "dynode_tpu.ops.multistrain_pallas",
     "dynode_tpu.ops.seip_pallas",
     "dynode_tpu.parallel",
