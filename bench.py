@@ -207,6 +207,63 @@ def bench_generic_kernel(base, y0, n, repeats=3, name="generic_kernel"):
     return _timed_median(name, run, n, repeats)
 
 
+def bench_generic_adaptive(base, y0, n, repeats=3, name="generic_adaptive"):
+    """Round-4 adaptive generic kernel: lockstep-dt BS3(2) at rtol=1e-4
+    with bf16 save staging (halves the (T,R,B) buffer -- f32 OOMs at
+    163840) -- the reference's DEFAULT solve mode (adaptive) on the
+    whole-solve VMEM path for a user rows-RHS. Accuracy-gated against the
+    dt=0.05 constant kernel on a 2048-member slice; budget exhaustion in
+    any block voids the row."""
+    import dynode_tpu.ops.multistrain_pallas as mp
+    from dynode_tpu.ops import (
+        ensemble_solve_kernel,
+        ensemble_solve_kernel_adaptive,
+    )
+
+    A, K = mp.A_DIM, mp.K_DIM
+    contact = tuple(
+        tuple(float(v) for v in row)
+        for row in jnp.asarray(base.contact_matrix).tolist()
+    )
+
+    def rhs(y, p, t):
+        return mp._rhs_rows(
+            y, contact, p[:K], p[K:2 * K], p[2 * K:3 * K], p[3 * K:4 * K],
+            A, K,
+        )
+
+    def pack(nn, scales):
+        beta = base.beta[None, :] * scales[:, None]
+        return mp.pack_params(beta, base.sigma, base.gamma, base.omega, nn)
+
+    y_packed = mp.pack_state(y0, n)
+
+    @jax.jit
+    def fused(yp, scales):
+        return ensemble_solve_kernel_adaptive(
+            rhs, yp, pack(n, scales), duration=DURATION,
+            rtol=1e-4, atol=1e-6, save_dtype=jnp.bfloat16,
+        )
+
+    out, stats = fused(y_packed, _draws(n, 0))  # compile
+    _sync(out)
+    bad = int(jnp.asarray(stats["exhausted_intervals"]).sum())
+    assert bad == 0, f"adaptive generic kernel exhausted budget in {bad} blocks"
+    # accuracy gate on a slice (matches probe_generic_adaptive.py)
+    scales = _draws(n, 0)[:2048]
+    yp_s = y_packed[:, :2048]
+    pp_s = pack(2048, scales)
+    ref = ensemble_solve_kernel(rhs, yp_s, pp_s, duration=DURATION, dt=0.05)
+    got, _ = ensemble_solve_kernel_adaptive(
+        rhs, yp_s, pp_s, duration=DURATION, rtol=1e-4, atol=1e-6,
+    )
+    rel = float(jnp.max(jnp.abs(got - ref) / (1e-6 + jnp.abs(ref))))
+    assert rel < 5e-3, f"adaptive generic accuracy gate failed: {rel}"
+    tps = _timed_median(name, lambda s: fused(y_packed, _draws(n, s))[0],
+                        n, repeats)
+    return tps, rel
+
+
 def bench_lane_major_xla(base, y0, n, repeats=3):
     """Batch-last ensemble through the generic engine's constant direct-save
     path: the pure-XLA counterpart of the Pallas kernel's layout."""
@@ -489,7 +546,21 @@ def main():
         )
     except Exception as e:
         print(f"[bench] adaptive lane-major path failed: {e}", file=sys.stderr)
-    adaptive_tps = max(xla_tps, lane_adapt_tps)
+    gen_adapt_tps = 0.0
+    gen_adapt_rel = 0.0
+    try:
+        gen_adapt_tps, gen_adapt_rel = bench_generic_adaptive(
+            base, y0, KERNEL_WIDE_ENSEMBLE
+        )
+        print(
+            f"[bench] generic ADAPTIVE kernel (lockstep BS3, rtol=1e-4, "
+            f"bf16 saves, {KERNEL_WIDE_ENSEMBLE}): {gen_adapt_tps:,.0f} "
+            f"traj/s (gate rel {gen_adapt_rel:.2e} vs const dt=0.05)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] generic adaptive path failed: {e}", file=sys.stderr)
+    adaptive_tps = max(xla_tps, lane_adapt_tps, gen_adapt_tps)
 
     # ---- CPU baseline: pinned constant (re-measure only on demand) -------
     cpu_const_tps = float(pins.get("cpu_constant_tps_256", 0.0))
@@ -736,6 +807,8 @@ def main():
         "traj_per_sec_pallas_max": round(pallas_max_tps, 1),
         "traj_per_sec_generic_kernel": round(generic_tps, 1),
         "traj_per_sec_adaptive": round(adaptive_tps, 1),
+        "traj_per_sec_generic_adaptive": round(gen_adapt_tps, 1),
+        "generic_adaptive_gate_rel_err": round(gen_adapt_rel, 6),
         "ess_per_sec": round(ess_per_sec, 1),
         "matched_quality_speedup": round(matched_quality, 1),
         "matched_quality_speedup_tuned_cpu": round(matched_quality_tuned, 1),
@@ -772,6 +845,13 @@ def main():
                 "achieved_save_dma_gbps": round(seip_kernel_save_gbps, 2),
                 "bound_by": "VMEM capacity (output save buffer sets max "
                 "width) + VPU: state never touches HBM",
+            },
+            "generic_adaptive_max": {
+                "bound_by": "VPU: ~1.0 accepted lockstep BS3 steps/day "
+                "(4 RHS evals + block-max error norm each) vs const "
+                "Tsit5's 2x6 evals -- adaptive matches const throughput "
+                "WITH error control; bf16 save staging halves the "
+                "(T,R,B) buffer that OOMs f32 at 163840",
             },
             "seip_kernel_adaptive_32k": {
                 "achieved_save_dma_gbps": round(seip_adaptive_save_gbps, 2),

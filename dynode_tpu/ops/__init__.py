@@ -13,6 +13,8 @@ whole-solve-in-VMEM execution without writing Pallas.
 
 from .generic_pallas import (
     ensemble_solve_kernel,
+    ensemble_solve_kernel_adaptive,
+    ensemble_solve_kernel_adaptive_reference,
     ensemble_solve_kernel_reference,
     pack_rows,
     unpack_rows,
@@ -30,6 +32,8 @@ __all__ = [
     "ensemble_solve_tsit5",
     "ensemble_solve_reference",
     "ensemble_solve_kernel",
+    "ensemble_solve_kernel_adaptive",
+    "ensemble_solve_kernel_adaptive_reference",
     "ensemble_solve_kernel_reference",
     "pack_rows",
     "unpack_rows",

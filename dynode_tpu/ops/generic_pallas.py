@@ -37,6 +37,12 @@ On non-TPU backends ``ensemble_solve_kernel`` transparently falls back to
 ``ensemble_solve_kernel_reference`` -- the identical math as one
 ``lax.scan`` -- which is also the interpret-mode equivalence oracle in
 ``tests/test_ops/test_generic_pallas.py``.
+
+``ensemble_solve_kernel_adaptive`` is the adaptive (lockstep-dt) variant:
+embedded BS3(2)/Tsit5(4) with the SEIP adaptive kernel's block-shared
+I-controller, save-point clamping, per-interval attempt budgets, bf16
+save staging, and pipelined save DMAs -- covering the reference's DEFAULT
+(adaptive) solve mode for any rows-RHS model.
 """
 
 from __future__ import annotations
@@ -55,6 +61,8 @@ from .multistrain_pallas import pick_block_b
 
 __all__ = [
     "ensemble_solve_kernel",
+    "ensemble_solve_kernel_adaptive",
+    "ensemble_solve_kernel_adaptive_reference",
     "ensemble_solve_kernel_reference",
     "pack_rows",
     "unpack_rows",
@@ -72,6 +80,17 @@ _METHODS = {
     "tsit5": (Tsit5.a, Tsit5.b, tuple(float(x) for x in Tsit5.c), 6),
     "bosh3": (Bosh3.a, Bosh3.b, tuple(float(x) for x in Bosh3.c), 3),
     "rk4": (_RK4_A, _RK4_B, _RK4_C, 4),
+}
+
+#: adaptive method -> (a, b, e, c, n_stages, err_order); both are FSAL
+#: pairs (last stage = f(t+dt, y_new), b[last] == 0, feeds only the
+#: embedded error). bosh3 is the default: 4 RHS evals per attempt -- the
+#: same trade the SEIP adaptive kernel measured best (ops/seip_pallas.py).
+_ADAPTIVE_METHODS = {
+    "tsit5": (Tsit5.a, Tsit5.b, Tsit5.e,
+              tuple(float(x) for x in Tsit5.c), 7, float(Tsit5.err_order)),
+    "bosh3": (Bosh3.a, Bosh3.b, Bosh3.e,
+              tuple(float(x) for x in Bosh3.c), 4, float(Bosh3.err_order)),
 }
 
 
@@ -145,6 +164,44 @@ def _rk_step_rows(rhs, y, p, t, dt, a, b, c, n_stages):
     ]
 
 
+def _rk_embedded_step_rows(rhs, y, p, t, dt, a, b, e, c, n_stages):
+    """One embedded FSAL RK attempt on rows: returns (y_new, err_rows).
+
+    The last stage is evaluated at ``y_new`` (FSAL structure shared by both
+    adaptive tableaus; ``b[last] == 0``) so the advanced solution costs
+    ``n_stages - 1`` stage-input constructions.
+    """
+    n_rows = len(y)
+    n_sub = n_stages - 1
+    ks = []
+    for stage in range(n_sub):
+        if stage == 0:
+            y_stage = y
+        else:
+            coeffs = a[stage - 1]
+            y_stage = [
+                y[r]
+                + dt
+                * sum(
+                    coeffs[j] * ks[j][r]
+                    for j in range(stage)
+                    if coeffs[j] != 0.0
+                )
+                for r in range(n_rows)
+            ]
+        ks.append(rhs(y_stage, p, t + c[stage] * dt))
+    y_new = [
+        y[r] + dt * sum(b[j] * ks[j][r] for j in range(n_sub) if b[j] != 0.0)
+        for r in range(n_rows)
+    ]
+    ks.append(rhs(y_new, p, t + c[n_stages - 1] * dt))
+    err = [
+        dt * sum(e[j] * ks[j][r] for j in range(n_stages) if e[j] != 0.0)
+        for r in range(n_rows)
+    ]
+    return y_new, err
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
@@ -172,16 +229,20 @@ def _solve_kernel(
     block_b = scratch.shape[1]
     p = [p_ref[r, :] for r in range(n_params)]
 
-    def save(slot, rows):
-        for r in range(n_rows):
-            scratch[r, :] = rows[r]
-        dma = pltpu.make_async_copy(
+    def _dma(slot):
+        return pltpu.make_async_copy(
             scratch,
             out_ref.at[slot, :, pl.ds(i * block_b, block_b)],
             sem,
         )
-        dma.start()
-        dma.wait()
+
+    def save(slot, rows):
+        # pipelined: stage (casting to the save dtype when narrow), start
+        # the DMA, defer the wait until just before the staging tile is
+        # next overwritten -- a full save_stride of RK steps later
+        for r in range(n_rows):
+            scratch[r, :] = rows[r].astype(scratch.dtype)
+        _dma(slot).start()
 
     for r in range(n_rows, d_pad):  # zero padding rows once
         scratch[r, :] = jnp.zeros_like(scratch[r, :])
@@ -196,11 +257,14 @@ def _solve_kernel(
 
         @pl.when(step % save_stride == 0)
         def _():
-            save(step // save_stride, rows)
+            slot = step // save_stride
+            _dma(slot - 1).wait()
+            save(slot, rows)
 
         return tuple(rows)
 
     jax.lax.fori_loop(1, n_steps + 1, body, tuple(y))
+    _dma(n_steps // save_stride).wait()
 
 
 def ensemble_solve_kernel(
@@ -214,6 +278,7 @@ def ensemble_solve_kernel(
     block_b: int | None = None,
     method: str = "tsit5",
     t0: float = 0.0,
+    save_dtype=jnp.float32,
 ):
     """Whole-solve lane-major ensemble kernel for a user rows-RHS.
 
@@ -228,8 +293,13 @@ def ensemble_solve_kernel(
     block_b: lane-block width; None auto-picks (2048 sweet spot).
     method: ``"tsit5"`` (default, matches SolverParams), ``"bosh3"``,
         ``"rk4"``.
+    save_dtype: dtype of the save buffer; ``jnp.bfloat16`` halves the
+        (n_saves, R, B) HBM footprint AND the save-DMA volume (downcast
+        happens in the VMEM staging tile before the DMA -- the lever that
+        unlocked full-width SEIP saves, ops/seip_pallas.py).
 
-    Returns ``(n_saves, R, B)`` f32 saves (slice rows / :func:`unpack_rows`).
+    Returns ``(n_saves, R, B)`` saves in ``save_dtype`` (slice rows /
+    :func:`unpack_rows`). Solve math is always f32; only saves narrow.
     """
     if method not in _METHODS:
         raise ValueError(f"unknown method {method!r}; one of {list(_METHODS)}")
@@ -251,7 +321,7 @@ def ensemble_solve_kernel(
         return ensemble_solve_kernel_reference(
             rhs, y0_rows, p_rows, duration=duration, dt=dt,
             save_every=save_every, method=method, t0=t0,
-        )
+        ).astype(save_dtype)
     if block_b is None:
         block_b = pick_block_b(batch)
     if batch % block_b:
@@ -259,17 +329,18 @@ def ensemble_solve_kernel(
     return _solve_pallas(
         y0_rows, p_rows, rhs=rhs, duration=float(duration), dt=float(dt),
         save_every=float(save_every), block_b=int(block_b), method=method,
-        t0=float(t0),
+        t0=float(t0), save_dtype=jnp.dtype(save_dtype).name,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("rhs", "duration", "dt", "save_every", "block_b",
-                     "method", "t0"),
+                     "method", "t0", "save_dtype"),
 )
 def _solve_pallas(
-    y0_rows, p_rows, *, rhs, duration, dt, save_every, block_b, method, t0
+    y0_rows, p_rows, *, rhs, duration, dt, save_every, block_b, method, t0,
+    save_dtype="float32",
 ):
     n_rows, batch = y0_rows.shape
     n_params = p_rows.shape[0]
@@ -278,6 +349,7 @@ def _solve_pallas(
     n_saves = n_steps // save_stride + 1
     d_pad = _pad8(n_rows)
     p_pad = _pad8(max(n_params, 1))
+    save_dtype = jnp.dtype(save_dtype)
 
     y_padded = jnp.zeros((d_pad, batch), jnp.float32).at[:n_rows].set(y0_rows)
     p_padded = jnp.zeros((p_pad, batch), jnp.float32).at[:n_params].set(p_rows)
@@ -296,7 +368,7 @@ def _solve_pallas(
     grid = (batch // block_b,)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_saves, d_pad, batch), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_saves, d_pad, batch), save_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((d_pad, block_b), lambda i: (0, i),
@@ -306,7 +378,7 @@ def _solve_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((d_pad, block_b), jnp.float32),
+            pltpu.VMEM((d_pad, block_b), save_dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(y_padded, p_padded)
@@ -348,3 +420,424 @@ def ensemble_solve_kernel_reference(
         outer, (y, jnp.float32(t0)), None, length=n_outer
     )
     return jnp.concatenate([jnp.stack(y, axis=0)[None], saves], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# adaptive (lockstep-dt) variant
+# ---------------------------------------------------------------------------
+#
+# The generic analog of the SEIP adaptive kernel (ops/seip_pallas.py
+# ``_seip_kernel_adaptive``): dt is LOCKSTEP PER LANE BLOCK -- each Pallas
+# program carries one scalar (t, dt) chain, the controller norm is the max
+# over the block of each member's scaled RMS error (so every member
+# satisfies the tolerance and the block's dt is set by its currently
+# stiffest member), and dt is clamped to land EXACTLY on each save point
+# with the grid engine's semantics (ode/integrate.py): an ACCEPTED clamped
+# step keeps the natural dt, a REJECTED one shrinks from the clamped size.
+# Budget exhaustion (more than steps_per_save attempts in one save
+# interval; the FIRST interval gets max(4x, 32) for the dt0 ramp + initial
+# transient) emits NaN saves until the block catches up and is counted in
+# the returned stats -- the SolverParams.step_budget contract.
+#
+# Layout difference from the SEIP kernel: rows-idiom state is small enough
+# that RK stages live as *registers* -- only the live state y and the
+# accepted-candidate accumulator need VMEM scratch refs (values cannot
+# escape a pl.when region; the scalar controller norm escapes through
+# SMEM, the candidate through its ref). Saves are pipelined bf16-capable
+# DMAs exactly as in the constant-step kernel above.
+
+
+def _solve_kernel_adaptive(
+    y_ref,
+    p_ref,
+    out_ref,
+    flag_ref,
+    y_scr,
+    ac_scr,
+    stage,
+    sem,
+    nrm_ref,
+    *,
+    rhs,
+    n_rows: int,
+    n_params: int,
+    n_saves: int,
+    save_every: float,
+    steps_per_save: int,
+    rtol: float,
+    atol: float,
+    dt0: float,
+    t0: float,
+    tableau,
+):
+    a, b, e, c, n_stages, err_order = tableau
+    i = pl.program_id(0)
+    d_pad, block_b = stage.shape
+    f32 = jnp.float32
+    i32 = jnp.int32
+    eps = 1e-6 * max(float(save_every), 1.0)
+    p = [p_ref[r, :] for r in range(n_params)]
+
+    for r in range(n_rows):
+        y_scr[r, :] = y_ref[r, :]
+    for r in range(n_rows, d_pad):  # zero padding rows once
+        stage[r, :] = jnp.zeros_like(stage[r, :])
+
+    def _dma(slot):
+        return pltpu.make_async_copy(
+            stage,
+            out_ref.at[slot, :, pl.ds(i * block_b, block_b)],
+            sem,
+        )
+
+    def save(slot, reached):
+        for r in range(n_rows):
+            v = y_scr[r, :]
+            stage[r, :] = jnp.where(
+                reached, v, jnp.full_like(v, jnp.nan)
+            ).astype(stage.dtype)
+        _dma(slot).start()
+
+    save(0, jnp.asarray(True))
+
+    def make_attempt(s_end):
+        def attempt(_, carry):
+            t, dt_next, na, nr = carry
+            remaining = s_end - t
+            active = remaining > eps
+            dt_used = jnp.minimum(dt_next, remaining)
+            landing = dt_used >= remaining - eps
+
+            @pl.when(active)
+            def _():
+                rows = [y_scr[r, :] for r in range(n_rows)]
+                y_new, err = _rk_embedded_step_rows(
+                    rhs, rows, p, t, dt_used, a, b, e, c, n_stages
+                )
+                sq = None
+                for r in range(n_rows):
+                    sc = atol + rtol * jnp.maximum(
+                        jnp.abs(rows[r]), jnp.abs(y_new[r])
+                    )
+                    q = err[r] / sc
+                    sq = q * q if sq is None else sq + q * q
+                nrm_ref[0] = jnp.max(jnp.sqrt(sq * (1.0 / n_rows)))
+                for r in range(n_rows):
+                    ac_scr[r, :] = y_new[r]
+
+            norm = nrm_ref[0]  # stale when inactive: every update is masked
+            ok = jnp.isfinite(norm)
+            safe = jnp.maximum(norm, jnp.asarray(1e-30, f32))
+            # norm**(-1/err_order) via exp/log: Mosaic has no scalar powf
+            factor = jnp.clip(
+                0.9 * jnp.exp(jnp.log(safe) * (-1.0 / err_order)), 0.2, 10.0
+            )
+            factor = jnp.where(ok, factor, jnp.asarray(0.2, f32))
+            good = ok & (norm <= 1.0)
+            acc = active & good
+            # an ACCEPTED save-clamped step says nothing about the natural
+            # dt (it was artificially short): keep dt_next; a REJECTED one
+            # must shrink from the clamped size (grid-engine semantics)
+            dt_new = jnp.where(landing & good, dt_next, dt_used * factor)
+            dt_new = jnp.where(active, dt_new, dt_next)
+
+            @pl.when(acc)
+            def _():
+                for r in range(n_rows):
+                    y_scr[r, :] = ac_scr[r, :]
+
+            t_new = jnp.where(acc, jnp.where(landing, s_end, t + dt_used), t)
+            na = na + acc.astype(i32)
+            nr = nr + (active & ~acc).astype(i32)
+            return (t_new, dt_new, na, nr)
+
+        return attempt
+
+    def run_interval(carry, s_end, k_attempts):
+        t, dt, na, nr, bad = carry
+        t, dt, na, nr = jax.lax.fori_loop(
+            0, k_attempts, make_attempt(s_end), (t, dt, na, nr)
+        )
+        reached = t >= s_end - eps
+        bad = bad + (~reached).astype(i32)
+        return (t, dt, na, nr, bad), reached
+
+    carry = (
+        jnp.asarray(t0, f32),
+        jnp.asarray(dt0, f32),
+        jnp.zeros((), i32),
+        jnp.zeros((), i32),
+        jnp.zeros((), i32),
+    )
+    k_first = max(4 * steps_per_save, 32)
+    carry, reached1 = run_interval(
+        carry, jnp.asarray(t0 + save_every, f32), k_first
+    )
+    _dma(0).wait()
+    save(1, reached1)
+
+    def outer(s, carry):
+        s_end = t0 + s.astype(f32) * save_every
+        carry, reached = run_interval(carry, s_end, steps_per_save)
+        _dma(s - 1).wait()
+        save(s, reached)
+        return carry
+
+    carry = jax.lax.fori_loop(2, n_saves, outer, carry)
+    _dma(n_saves - 1).wait()
+
+    _, _, na, nr, bad = carry
+    col = jax.lax.broadcasted_iota(i32, (8, 128), 1)
+    flag_ref[0] = jnp.where(
+        col == 0, bad, jnp.where(col == 1, na, jnp.where(col == 2, nr, 0))
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rhs", "duration", "save_every", "steps_per_save",
+                     "rtol", "atol", "dt0", "block_b", "method", "t0",
+                     "save_dtype"),
+)
+def _solve_pallas_adaptive(
+    y0_rows, p_rows, *, rhs, duration, save_every, steps_per_save, rtol,
+    atol, dt0, block_b, method, t0, save_dtype="float32",
+):
+    n_rows, batch = y0_rows.shape
+    n_params = p_rows.shape[0]
+    n_saves = int(round(duration / save_every)) + 1
+    d_pad = _pad8(n_rows)
+    p_pad = _pad8(max(n_params, 1))
+    save_dtype = jnp.dtype(save_dtype)
+
+    y_padded = jnp.zeros((d_pad, batch), jnp.float32).at[:n_rows].set(y0_rows)
+    p_padded = jnp.zeros((p_pad, batch), jnp.float32).at[:n_params].set(p_rows)
+
+    kernel = functools.partial(
+        _solve_kernel_adaptive,
+        rhs=rhs,
+        n_rows=n_rows,
+        n_params=n_params,
+        n_saves=n_saves,
+        save_every=save_every,
+        steps_per_save=steps_per_save,
+        rtol=rtol,
+        atol=atol,
+        dt0=dt0,
+        t0=t0,
+        tableau=_ADAPTIVE_METHODS[method],
+    )
+    nb = batch // block_b
+    out, flags = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_saves, d_pad, batch), save_dtype),
+            jax.ShapeDtypeStruct((nb, 8, 128), jnp.int32),
+        ],
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((d_pad, block_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, block_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d_pad, block_b), jnp.float32),
+            pltpu.VMEM((d_pad, block_b), jnp.float32),
+            pltpu.VMEM((d_pad, block_b), save_dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((1,), jnp.float32),
+        ],
+    )(y_padded, p_padded)
+    return out[:, :n_rows, :], flags
+
+
+def ensemble_solve_kernel_adaptive(
+    rhs: Callable,
+    y0_rows: jnp.ndarray,
+    p_rows: jnp.ndarray | None = None,
+    *,
+    duration: float,
+    save_every: float = 1.0,
+    rtol: float = 1e-4,
+    atol: float = 1e-6,
+    dt0: float | None = None,
+    steps_per_save: int = 8,
+    block_b: int | None = None,
+    method: str = "bosh3",
+    save_dtype=jnp.float32,
+    t0: float = 0.0,
+):
+    """Adaptive (lockstep-dt) whole-solve ensemble kernel for a rows-RHS.
+
+    The adaptive analog of :func:`ensemble_solve_kernel` -- the reference's
+    DEFAULT solve mode is adaptive
+    (/root/reference/src/dynode/config/params.py:36-47). Embedded
+    Bogacki-Shampine 3(2) (default; 4 RHS evals/attempt) or Tsitouras 5(4)
+    with an I-controller; dt shared across each lane block and driven by
+    the block's max per-member scaled RMS error; clamped to land exactly on
+    each save point (see the kernel comment above
+    :func:`_solve_kernel_adaptive` for the full contract).
+
+    ``atol`` defaults to 1e-6 -- scaled for O(1) states (proportions). For
+    ~1e3-scale populations use atol=1e-3: f64-calibrated defaults make the
+    f32 controller thrash (CLAUDE.md).
+
+    Returns ``(saves, stats)``: saves ``(n_saves, R, B)`` in ``save_dtype``
+    (NaN rows where a block's attempt budget ran out); ``stats`` has
+    per-block int32 arrays ``exhausted_intervals`` (nonzero means raise
+    ``steps_per_save``), ``n_accepted``, ``n_rejected``. Off-TPU falls back
+    to :func:`ensemble_solve_kernel_adaptive_reference` (one global
+    lockstep block).
+    """
+    if method not in _ADAPTIVE_METHODS:
+        raise ValueError(
+            f"unknown method {method!r}; one of {list(_ADAPTIVE_METHODS)}"
+        )
+    y0_rows = jnp.asarray(y0_rows, jnp.float32)
+    if y0_rows.ndim != 2:
+        raise ValueError(f"y0_rows must be (R, B), got {y0_rows.shape}")
+    n_rows, batch = y0_rows.shape
+    if p_rows is None:
+        p_rows = jnp.zeros((0, batch), jnp.float32)
+    p_rows = jnp.asarray(p_rows, jnp.float32)
+    n_saves = int(round(duration / save_every)) + 1
+    if abs((n_saves - 1) * save_every - duration) > 1e-9 * max(
+        1.0, abs(duration)
+    ):
+        raise ValueError("duration must be a whole number of save intervals")
+    if n_saves < 2:
+        raise ValueError("duration must cover at least one save interval")
+    if dt0 is None:
+        dt0 = save_every / 8.0
+    if jax.default_backend() not in ("tpu",):
+        saves, stats = ensemble_solve_kernel_adaptive_reference(
+            rhs, y0_rows, p_rows, duration=duration, save_every=save_every,
+            rtol=rtol, atol=atol, dt0=dt0, steps_per_save=steps_per_save,
+            method=method, t0=t0,
+        )
+        return saves.astype(save_dtype), stats
+    if block_b is None:
+        block_b = pick_block_b(batch)
+    if batch % block_b:
+        raise ValueError(
+            f"batch {batch} must divide into {block_b}-lane blocks"
+        )
+    saves, flags = _solve_pallas_adaptive(
+        y0_rows, p_rows, rhs=rhs, duration=float(duration),
+        save_every=float(save_every), steps_per_save=int(steps_per_save),
+        rtol=float(rtol), atol=float(atol), dt0=float(dt0),
+        block_b=int(block_b), method=method, t0=float(t0),
+        save_dtype=jnp.dtype(save_dtype).name,
+    )
+    stats = {
+        "exhausted_intervals": flags[:, 0, 0],
+        "n_accepted": flags[:, 0, 1],
+        "n_rejected": flags[:, 0, 2],
+    }
+    return saves, stats
+
+
+def ensemble_solve_kernel_adaptive_reference(
+    rhs, y0_rows, p_rows=None, *, duration, save_every=1.0, rtol=1e-4,
+    atol=1e-6, dt0=None, steps_per_save=8, method="bosh3", t0=0.0,
+):
+    """Pure-JAX lockstep reference (one global block) + CPU fallback.
+
+    Same algorithm as ``_solve_kernel_adaptive`` -- shared scalar dt over
+    the WHOLE ensemble, max-of-member-RMS controller norm, save-point
+    clamping, per-interval attempt budgets -- so with ``block_b == batch``
+    the kernel makes identical controller decisions (interpret-mode
+    equivalence tests rely on this). Returns ``(saves, stats)`` with
+    ``(1,)``-shaped stats arrays (one global block).
+    """
+    a, b, e, c, n_stages, err_order = _ADAPTIVE_METHODS[method]
+    y0_rows = jnp.asarray(y0_rows, jnp.float32)
+    n_rows, batch = y0_rows.shape
+    if p_rows is None:
+        p_rows = jnp.zeros((0, batch), jnp.float32)
+    p_rows = jnp.asarray(p_rows, jnp.float32)  # kernel parity: f32 math
+    p = [p_rows[r] for r in range(p_rows.shape[0])]
+    n_saves = int(round(duration / save_every)) + 1
+    k = int(steps_per_save)
+    k_first = max(4 * k, 32)
+    dt0 = float(save_every / 8.0 if dt0 is None else dt0)
+    eps = 1e-6 * max(float(save_every), 1.0)
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    def attempt(_, carry):
+        t, dt_next, y, na, nr, s_end = carry
+        remaining = s_end - t
+        active = remaining > eps
+        dt_used = jnp.minimum(dt_next, remaining)
+        landing = dt_used >= remaining - eps
+        y_new, err = _rk_embedded_step_rows(
+            rhs, list(y), p, t, dt_used, a, b, e, c, n_stages
+        )
+        sq = None
+        for r in range(n_rows):
+            sc = atol + rtol * jnp.maximum(jnp.abs(y[r]), jnp.abs(y_new[r]))
+            q = err[r] / sc
+            sq = q * q if sq is None else sq + q * q
+        norm = jnp.max(jnp.sqrt(sq * (1.0 / n_rows)))
+        ok = jnp.isfinite(norm)
+        safe = jnp.maximum(norm, jnp.asarray(1e-30, f32))
+        factor = jnp.clip(
+            0.9 * jnp.exp(jnp.log(safe) * (-1.0 / err_order)), 0.2, 10.0
+        )
+        factor = jnp.where(ok, factor, jnp.asarray(0.2, f32))
+        good = ok & (norm <= 1.0)
+        acc = active & good
+        dt_new = jnp.where(landing & good, dt_next, dt_used * factor)
+        dt_new = jnp.where(active, dt_new, dt_next)
+        y_out = tuple(
+            jnp.where(acc, yn, yo) for yn, yo in zip(y_new, y)
+        )
+        t_new = jnp.where(acc, jnp.where(landing, s_end, t + dt_used), t)
+        na = na + acc.astype(i32)
+        nr = nr + (active & ~acc).astype(i32)
+        return (t_new, dt_new, y_out, na, nr, s_end)
+
+    def run_interval(carry, s_end, k_attempts):
+        t, dt, y, na, nr, bad = carry
+        t, dt, y, na, nr, _ = jax.lax.fori_loop(
+            0, k_attempts, attempt, (t, dt, y, na, nr, s_end)
+        )
+        reached = t >= s_end - eps
+        bad = bad + (~reached).astype(i32)
+        return (t, dt, y, na, nr, bad), reached
+
+    y = tuple(y0_rows[r] for r in range(n_rows))
+    carry = (
+        jnp.asarray(t0, f32), jnp.asarray(dt0, f32), y,
+        jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32),
+    )
+    carry, reached1 = run_interval(
+        carry, jnp.asarray(t0 + save_every, f32), k_first
+    )
+    first = jnp.stack(carry[2], axis=0)
+    first = jnp.where(reached1, first, jnp.full_like(first, jnp.nan))
+
+    def outer(carry, s):
+        s_end = t0 + s * save_every
+        carry, reached = run_interval(carry, s_end, k)
+        rows = jnp.stack(carry[2], axis=0)
+        return carry, jnp.where(reached, rows, jnp.full_like(rows, jnp.nan))
+
+    carry, rest = jax.lax.scan(
+        outer, carry, jnp.arange(2, n_saves, dtype=f32)
+    )
+    saves = jnp.concatenate([y0_rows[None], first[None], rest], axis=0)
+    _, _, _, na, nr, bad = carry
+    stats = {
+        "exhausted_intervals": bad[None],
+        "n_accepted": na[None],
+        "n_rejected": nr[None],
+    }
+    return saves, stats

@@ -228,3 +228,151 @@ def test_validation_errors():
         gp.ensemble_solve_kernel(sir_rhs, y0, duration=1.3, dt=0.5)
     with pytest.raises(ValueError, match="must be \\(R, B\\)"):
         gp.ensemble_solve_kernel(sir_rhs, jnp.zeros(8), duration=1.0, dt=0.5)
+    with pytest.raises(ValueError, match="unknown method"):
+        gp.ensemble_solve_kernel_adaptive(sir_rhs, y0, duration=2.0,
+                                          method="rk4")
+    with pytest.raises(ValueError, match="at least one save"):
+        gp.ensemble_solve_kernel_adaptive(sir_rhs, y0, duration=0.0)
+
+
+# ---------------------------------------------------------------------------
+# adaptive (lockstep-dt) variant
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("method", ["bosh3", "tsit5"])
+def test_adaptive_reference_matches_tight_constant(method):
+    """rtol=1e-5 adaptive lands on a dt=0.01 Tsit5 grid solve."""
+    B = 32
+    y0, p = _sir_rows(B, seed=4)
+    saves, stats = gp.ensemble_solve_kernel_adaptive_reference(
+        sir_rhs, y0, p, duration=60.0, rtol=1e-5, atol=1e-8, method=method,
+    )
+    assert saves.shape == (61, 3, B)
+    assert int(stats["exhausted_intervals"][0]) == 0
+    assert int(stats["n_accepted"][0]) >= 60  # at least one step/interval
+    gold = gp.ensemble_solve_kernel_reference(
+        sir_rhs, y0, p, duration=60.0, dt=0.01,
+    )
+    np.testing.assert_allclose(
+        np.asarray(saves), np.asarray(gold), rtol=0, atol=5e-5
+    )
+    # adaptive should take far fewer steps than the dt=0.01 grid (6000)
+    assert int(stats["n_accepted"][0]) < 1000
+
+
+def test_adaptive_kernel_interpret_matches_reference():
+    """block_b == batch -> identical controller decisions, near-bit saves."""
+    B = 128
+    y0, p = _sir_rows(B, seed=5)
+    ref, rstats = gp.ensemble_solve_kernel_adaptive_reference(
+        sir_rhs, y0, p, duration=20.0, rtol=1e-5, atol=1e-8,
+    )
+    orig = pl.pallas_call
+    gp.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        with um.patch.object(gp.jax, "default_backend", lambda: "tpu"):
+            out, stats = gp.ensemble_solve_kernel_adaptive(
+                sir_rhs, y0, p, duration=20.0, rtol=1e-5, atol=1e-8,
+                block_b=128,
+            )
+    finally:
+        gp.pl.pallas_call = orig
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-6, atol=1e-7
+    )
+    for key in ("exhausted_intervals", "n_accepted", "n_rejected"):
+        assert int(stats[key][0]) == int(rstats[key][0]), key
+
+
+def test_adaptive_budget_exhaustion_emits_nans_and_flags():
+    B = 16
+    y0, p = _sir_rows(B, seed=6)
+    saves, stats = gp.ensemble_solve_kernel_adaptive_reference(
+        sir_rhs, y0, p, duration=20.0, rtol=1e-10, atol=1e-14,
+        steps_per_save=2,
+    )
+    n_bad = int(stats["exhausted_intervals"][0])
+    assert n_bad > 0
+    nan_slots = np.isnan(np.asarray(saves)).any(axis=(1, 2))
+    assert int(nan_slots.sum()) == n_bad
+    assert not nan_slots[0]  # the initial state is always emitted
+
+
+def test_adaptive_bf16_saves_and_t0(monkeypatch):
+    B = 128
+    y0, p = _sir_rows(B, seed=7)
+    ref, _ = gp.ensemble_solve_kernel_adaptive_reference(
+        sir_rhs, y0, p, duration=10.0, rtol=1e-5, atol=1e-8, t0=3.0,
+    )
+    orig = pl.pallas_call
+    gp.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        with um.patch.object(gp.jax, "default_backend", lambda: "tpu"):
+            out, _ = gp.ensemble_solve_kernel_adaptive(
+                sir_rhs, y0, p, duration=10.0, rtol=1e-5, atol=1e-8,
+                block_b=128, save_dtype=jnp.bfloat16, t0=3.0,
+            )
+    finally:
+        gp.pl.pallas_call = orig
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=0, atol=5e-3
+    )
+    # CPU fallback honors save_dtype too
+    fb, _ = gp.ensemble_solve_kernel_adaptive(
+        sir_rhs, y0, p, duration=10.0, save_dtype=jnp.bfloat16, t0=3.0,
+    )
+    assert fb.dtype == jnp.bfloat16
+
+
+def test_constant_kernel_bf16_pipelined_saves():
+    """save_dtype plumbs through the (now pipelined) constant-step kernel."""
+    B = 128
+    y0, p = _sir_rows(B, seed=8)
+    ref = gp.ensemble_solve_kernel_reference(
+        sir_rhs, y0, p, duration=20.0, dt=0.5,
+    )
+    orig = pl.pallas_call
+    gp.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        with um.patch.object(gp.jax, "default_backend", lambda: "tpu"):
+            out32 = gp.ensemble_solve_kernel(
+                sir_rhs, y0, p, duration=20.0, dt=0.5, block_b=128,
+            )
+            out16 = gp.ensemble_solve_kernel(
+                sir_rhs, y0, p, duration=20.0, dt=0.5, block_b=128,
+                save_dtype=jnp.bfloat16,
+            )
+    finally:
+        gp.pl.pallas_call = orig
+    np.testing.assert_allclose(
+        np.asarray(out32), np.asarray(ref), rtol=2e-6, atol=1e-7
+    )
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(ref), rtol=0, atol=5e-3
+    )
+
+
+def test_adaptive_multiblock_interpret_lockstep_per_block():
+    """Two lane blocks carry independent dt chains; members still accurate."""
+    B = 256
+    y0, p = _sir_rows(B, seed=9)
+    orig = pl.pallas_call
+    gp.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        with um.patch.object(gp.jax, "default_backend", lambda: "tpu"):
+            out, stats = gp.ensemble_solve_kernel_adaptive(
+                sir_rhs, y0, p, duration=20.0, rtol=1e-5, atol=1e-8,
+                block_b=128,
+            )
+    finally:
+        gp.pl.pallas_call = orig
+    assert stats["n_accepted"].shape == (2,)
+    gold = gp.ensemble_solve_kernel_reference(
+        sir_rhs, y0, p, duration=20.0, dt=0.01,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(gold), rtol=0, atol=5e-5
+    )
