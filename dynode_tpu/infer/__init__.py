@@ -13,6 +13,7 @@ from .idata import InferenceData, from_dynode
 from .inference import InferenceProcess, MCMCProcess, SVIProcess
 from .chees import ChEES
 from .mcmc import MCMC, NUTS
+from .forecast import member_quantiles, resample_draws
 from .predictive import Predictive, log_likelihood
 from .sample import (
     resolve_deterministic,
@@ -80,6 +81,8 @@ __all__ = [
     "AutoMultivariateNormal",
     "AutoDelta",
     "Predictive",
+    "member_quantiles",
+    "resample_draws",
     "log_likelihood",
     "init_to_median",
     "init_to_mean",

@@ -571,8 +571,15 @@ def seip_ensemble_state(y0: CompartmentState, batch: int) -> CompartmentState:
 
 
 def seip_ensemble_params(base: SEIPParams, beta_scales: jnp.ndarray) -> SEIPParams:
-    """Per-member transmission scaling: beta becomes (L, B)."""
-    return base.replace(beta=base.beta[:, None] * beta_scales[None, :])
+    """Per-member transmission scaling: beta becomes (L, B).
+
+    ``beta_scales`` is ``(B,)`` (one scale shared across strains) or
+    ``(L, B)`` (per-strain scales -- the shape of the production fit's
+    posterior draws, examples/seip_fit.py)."""
+    scales = jnp.asarray(beta_scales)
+    if scales.ndim == 1:
+        scales = scales[None, :]
+    return base.replace(beta=base.beta[:, None] * scales)
 
 
 def seip_ode_ensemble_scatter(t, state: CompartmentState, p: SEIPParams):

@@ -81,6 +81,26 @@ def unpack_members(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(*lead, nb * SUB * LANE)
 
 
+def _norm_scales(beta_scales, n_strains: int, dtype) -> jnp.ndarray:
+    """Normalize ``beta_scales`` to the (L, B) per-strain-per-member form.
+
+    Accepts the original (B,) shared-across-strains row (broadcast to every
+    strain) or the (L, B) per-strain form the production fit's posterior
+    draws have (examples/seip_fit.py samples one scale per strain) --
+    posterior-predictive forecasting feeds the latter straight into the
+    kernels.
+    """
+    s = jnp.asarray(beta_scales, dtype)
+    if s.ndim == 1:
+        s = jnp.broadcast_to(s[None, :], (n_strains,) + s.shape)
+    if s.ndim != 2 or s.shape[0] != n_strains:
+        raise ValueError(
+            f"beta_scales must be (B,) or (n_strains={n_strains}, B); got "
+            f"{jnp.shape(beta_scales)}"
+        )
+    return s
+
+
 # ---------------------------------------------------------------------------
 # in-kernel scalar helpers (traced scalar t; static numpy coefficients)
 # ---------------------------------------------------------------------------
@@ -109,7 +129,10 @@ def _build_rhs(P, dims, seasonal, scale):
 
     ``dst``/``src`` are 4-tuples of VMEM refs in member-tile layout
     (structure dims leading, (8, 128) member tiles trailing); ``t`` is a
-    traced scalar evaluated on the scalar unit. Semantics match
+    traced scalar evaluated on the scalar unit. ``scale`` is a length-L
+    sequence of (8, 128) per-member transmission-scale tiles, one per
+    strain (the production-fit parameterization samples one scale per
+    strain, examples/seip_fit.py). Semantics match
     ``models/seip.py::seip_ode`` (reference model: /root/reference/ode_model.md:15-232).
     """
     A, J, K, M, L = dims
@@ -186,7 +209,9 @@ def _build_rhs(P, dims, seasonal, scale):
                 for b in range(A):
                     term = float(contact[a, b]) * inf_al[b][l]
                     mixed = term if mixed is None else mixed + term
-                row.append(float(beta[l] / pop[a]) * season * scale * mixed)
+                row.append(
+                    float(beta[l] / pop[a]) * season * scale[l] * mixed
+                )
             lam.append(row)
 
         # ---- S: infection out; E/I/C: exposure chain ---------------------
@@ -310,8 +335,13 @@ def _seip_kernel(
     sem = refs[5 + n_out + 16 + n_out]
     blk = pl.program_id(0)
 
-    scale = scale_ref[...]  # (8, 128) per-member transmission scale
-    rhs = _build_rhs(P, dims, seasonal, scale)
+    # (L, 8, 128) per-strain per-member transmission scales; leading-dim
+    # indexing is a whole-tile slice (the layout rule this kernel is built
+    # around), so the per-strain list costs nothing over a shared tile.
+    scale = scale_ref[...]
+    rhs = _build_rhs(
+        P, dims, seasonal, [scale[l] for l in range(dims[-1])]
+    )
 
     refs_y = (y_S, y_E, y_I, y_C)
     refs_st = (st_S, st_E, st_I, st_C)
@@ -521,7 +551,9 @@ def _solve(
         grid=grid,
         in_specs=const_spec
         + [
-            pl.BlockSpec((SUB, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (L, SUB, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shapes),
         scratch_shapes=[
@@ -601,8 +633,10 @@ def _seip_kernel_adaptive(
     nrm_ref = refs[base + 20 + n_out + 2]
     blk = pl.program_id(0)
 
-    scale = scale_ref[...]
-    rhs = _build_rhs(P, dims, seasonal, scale)
+    scale = scale_ref[...]  # (L, 8, 128) per-strain per-member scales
+    rhs = _build_rhs(
+        P, dims, seasonal, [scale[l] for l in range(dims[-1])]
+    )
 
     refs_y = (y_S, y_E, y_I, y_C)
     refs_st = (st_S, st_E, st_I, st_C)
@@ -821,7 +855,9 @@ def _solve_adaptive(
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
         + [
-            pl.BlockSpec((SUB, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (L, SUB, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(saved_shapes)
         + [
@@ -883,7 +919,7 @@ def seip_ensemble_solve_adaptive(
     """
     save = tuple(sorted(set(int(i) for i in save)))
     assert save and all(0 <= i < 4 for i in save), save
-    B = int(beta_scales.shape[0])
+    B = int(beta_scales.shape[-1])
     n_saves = int(round(duration / save_every)) + 1
     if abs((n_saves - 1) * save_every - duration) > 1e-6 * max(duration, 1.0):
         raise ValueError("duration must be a multiple of save_every")
@@ -909,7 +945,9 @@ def seip_ensemble_solve_adaptive(
         )
         for c in y0
     )
-    scales_packed = pack_members(jnp.asarray(beta_scales, jnp.float32))
+    scales_packed = pack_members(
+        _norm_scales(beta_scales, dims[-1], jnp.float32)
+    )
     outs, flags = _solve_adaptive(
         y0_packed,
         scales_packed,
@@ -955,7 +993,7 @@ def seip_solve_adaptive_reference(
         seip_ode_ensemble,
     )
 
-    B = int(beta_scales.shape[0])
+    B = int(beta_scales.shape[-1])
     fdt = jnp.result_type(float)
     p = seip_ensemble_params(params, jnp.asarray(beta_scales, fdt))
     y0e = seip_ensemble_state(tuple(jnp.asarray(c, fdt) for c in y0), B)
@@ -1077,10 +1115,13 @@ def seip_ensemble_solve(
 ):
     """Solve a B-wide SEIP ensemble fully inside one Pallas kernel.
 
-    ``beta_scales``: (B,) per-member transmission scaling (B a multiple of
-    1024). Returns lane-major saves for the compartments in ``save``
-    (ascending indices into (S, E, I, C)), each shaped
-    ``(T, *compartment_shape, B)``. Restricting ``save`` matters at width:
+    ``beta_scales``: per-member transmission scaling (B a multiple of
+    1024) -- ``(B,)`` applies one scale to every strain; ``(L, B)`` scales
+    each strain independently (the shape of the production fit's posterior
+    draws -- posterior-predictive forecasting feeds those straight in,
+    examples/seip_forecast.py). Returns lane-major saves for the
+    compartments in ``save`` (ascending indices into (S, E, I, C)), each
+    shaped ``(T, *compartment_shape, B)``. Restricting ``save`` matters at width:
     the output buffer is the kernel's ONLY HBM traffic (full-4 daily f32
     saves are ~7.9 GiB at B=16384; ``save=(3,)`` cuts it 5x). Base
     parameters are host-fetched and compiled in (see module docstring).
@@ -1102,7 +1143,7 @@ def seip_ensemble_solve(
     """
     save = tuple(sorted(set(int(i) for i in save)))
     assert save and all(0 <= i < 4 for i in save), save
-    B = int(beta_scales.shape[0])
+    B = int(beta_scales.shape[-1])
     if jax.default_backend() not in ("tpu",):
         outs = seip_solve_reference(
             y0, params, beta_scales, duration=duration, dt=dt,
@@ -1120,7 +1161,9 @@ def seip_ensemble_solve(
         )
         for c in y0
     )
-    scales_packed = pack_members(jnp.asarray(beta_scales, jnp.float32))
+    scales_packed = pack_members(
+        _norm_scales(beta_scales, dims[-1], jnp.float32)
+    )
     outs = _solve(
         y0_packed,
         scales_packed,
@@ -1142,13 +1185,15 @@ def seip_solve_reference(
     y0, params, beta_scales, *, duration, dt=0.5, save_every=1.0
 ):
     """RK4 lax.scan reference with identical stage math (batch-leading),
-    for correctness diffing and CPU fallback. Returns lane-major saves."""
+    for correctness diffing and CPU fallback. ``beta_scales`` is (B,) or
+    (L, B) as in :func:`seip_ensemble_solve`. Returns lane-major saves."""
     from ..models.seip import seip_ode
 
     n_steps = int(round(duration / dt))
     stride = int(round(save_every / dt))
 
     def solve_one(scale):
+        # scale: () shared or (L,) per-strain -- both broadcast into beta
         p = params.replace(beta=params.beta * scale)
 
         def rk4(y, t):
@@ -1181,9 +1226,11 @@ def seip_solve_reference(
             jnp.concatenate([c[None], s], axis=0) for c, s in zip(y0f, saves)
         )
 
-    outs = jax.jit(jax.vmap(solve_one, out_axes=tuple([-1] * 4)))(
-        jnp.asarray(beta_scales, jnp.result_type(float))
-    )
+    scales = jnp.asarray(beta_scales, jnp.result_type(float))
+    # member axis is the LAST axis in both accepted shapes
+    outs = jax.jit(
+        jax.vmap(solve_one, in_axes=-1, out_axes=tuple([-1] * 4))
+    )(scales)
     return outs
 
 

@@ -148,8 +148,17 @@ def test_adaptive_kernel_interpret_matches_lockstep_reference(setup):
     import dynode_tpu.ops.seip_pallas as sp
 
     p, y0, _ = setup
-    scales = jnp.linspace(0.9, 1.1, 1024, dtype=jnp.float32)
     P, dims, seasonal = sp._static_params(p)
+    # per-strain rows differ (round 4: the kernel takes (L, B) scale banks
+    # -- the posterior-predictive forecast shape) so this also covers the
+    # per-strain lam path
+    L = dims[-1]
+    scales = jnp.stack(
+        [
+            jnp.linspace(0.9 + 0.02 * l, 1.1 - 0.02 * l, 1024)
+            for l in range(L)
+        ]
+    ).astype(jnp.float32)
     y0p = tuple(
         sp.pack_members(
             jnp.broadcast_to(
