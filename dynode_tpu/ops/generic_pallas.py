@@ -202,6 +202,21 @@ def _rk_embedded_step_rows(rhs, y, p, t, dt, a, b, e, c, n_stages):
     return y_new, err
 
 
+def _check_save_rows(save_rows, n_rows):
+    """Normalize/validate a ``save_rows`` selection to a static tuple."""
+    if save_rows is None:
+        return tuple(range(n_rows))
+    rows = tuple(int(r) for r in save_rows)
+    if not rows:
+        raise ValueError("save_rows must select at least one row")
+    for r in rows:
+        if not 0 <= r < n_rows:
+            raise ValueError(
+                f"save_rows index {r} out of range for {n_rows} state rows"
+            )
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
@@ -222,9 +237,10 @@ def _solve_kernel(
     n_steps: int,
     save_stride: int,
     tableau,
+    save_rows,
 ):
     a, b, c, n_stages = tableau
-    d_pad = scratch.shape[0]
+    s_pad = scratch.shape[0]
     i = pl.program_id(0)
     block_b = scratch.shape[1]
     p = [p_ref[r, :] for r in range(n_params)]
@@ -240,12 +256,12 @@ def _solve_kernel(
         # pipelined: stage (casting to the save dtype when narrow), start
         # the DMA, defer the wait until just before the staging tile is
         # next overwritten -- a full save_stride of RK steps later
-        for r in range(n_rows):
-            scratch[r, :] = rows[r].astype(scratch.dtype)
+        for j, r in enumerate(save_rows):
+            scratch[j, :] = rows[r].astype(scratch.dtype)
         _dma(slot).start()
 
-    for r in range(n_rows, d_pad):  # zero padding rows once
-        scratch[r, :] = jnp.zeros_like(scratch[r, :])
+    for j in range(len(save_rows), s_pad):  # zero padding rows once
+        scratch[j, :] = jnp.zeros_like(scratch[j, :])
     y = [y_ref[r, :] for r in range(n_rows)]
     save(0, y)
 
@@ -279,6 +295,7 @@ def ensemble_solve_kernel(
     method: str = "tsit5",
     t0: float = 0.0,
     save_dtype=jnp.float32,
+    save_rows: Sequence[int] | None = None,
 ):
     """Whole-solve lane-major ensemble kernel for a user rows-RHS.
 
@@ -297,9 +314,15 @@ def ensemble_solve_kernel(
         (n_saves, R, B) HBM footprint AND the save-DMA volume (downcast
         happens in the VMEM staging tile before the DMA -- the lever that
         unlocked full-width SEIP saves, ops/seip_pallas.py).
+    save_rows: row indices to save (any order; default all R rows). The
+        output buffer is the kernel's max-width bound, so saving only the
+        observable rows (e.g. the cumulative-incidence rows of a fit)
+        multiplies the widest ensemble that fits in HBM -- the generic
+        analog of the SEIP kernel's ``save=`` (ops/seip_pallas.py).
 
-    Returns ``(n_saves, R, B)`` saves in ``save_dtype`` (slice rows /
-    :func:`unpack_rows`). Solve math is always f32; only saves narrow.
+    Returns ``(n_saves, len(save_rows), B)`` saves in ``save_dtype``
+    (rows in ``save_rows`` order; :func:`unpack_rows` for the full-rows
+    case). Solve math is always f32; only saves narrow.
     """
     if method not in _METHODS:
         raise ValueError(f"unknown method {method!r}; one of {list(_METHODS)}")
@@ -316,12 +339,14 @@ def ensemble_solve_kernel(
         raise ValueError("duration must be a whole number of dt steps")
     if n_steps % save_stride:
         raise ValueError("save_every must divide duration into whole strides")
+    save_rows = _check_save_rows(save_rows, n_rows)
 
     if jax.default_backend() not in ("tpu",):
-        return ensemble_solve_kernel_reference(
+        full = ensemble_solve_kernel_reference(
             rhs, y0_rows, p_rows, duration=duration, dt=dt,
             save_every=save_every, method=method, t0=t0,
         ).astype(save_dtype)
+        return full[:, list(save_rows), :]
     if block_b is None:
         block_b = pick_block_b(batch)
     if batch % block_b:
@@ -330,24 +355,28 @@ def ensemble_solve_kernel(
         y0_rows, p_rows, rhs=rhs, duration=float(duration), dt=float(dt),
         save_every=float(save_every), block_b=int(block_b), method=method,
         t0=float(t0), save_dtype=jnp.dtype(save_dtype).name,
+        save_rows=save_rows,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("rhs", "duration", "dt", "save_every", "block_b",
-                     "method", "t0", "save_dtype"),
+                     "method", "t0", "save_dtype", "save_rows"),
 )
 def _solve_pallas(
     y0_rows, p_rows, *, rhs, duration, dt, save_every, block_b, method, t0,
-    save_dtype="float32",
+    save_dtype="float32", save_rows=None,
 ):
     n_rows, batch = y0_rows.shape
     n_params = p_rows.shape[0]
+    if save_rows is None:
+        save_rows = tuple(range(n_rows))
     n_steps = int(round(duration / dt))
     save_stride = int(round(save_every / dt))
     n_saves = n_steps // save_stride + 1
     d_pad = _pad8(n_rows)
+    s_pad = _pad8(len(save_rows))
     p_pad = _pad8(max(n_params, 1))
     save_dtype = jnp.dtype(save_dtype)
 
@@ -364,11 +393,12 @@ def _solve_pallas(
         n_steps=n_steps,
         save_stride=save_stride,
         tableau=_METHODS[method],
+        save_rows=save_rows,
     )
     grid = (batch // block_b,)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_saves, d_pad, batch), save_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_saves, s_pad, batch), save_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((d_pad, block_b), lambda i: (0, i),
@@ -378,11 +408,11 @@ def _solve_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((d_pad, block_b), save_dtype),
+            pltpu.VMEM((s_pad, block_b), save_dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(y_padded, p_padded)
-    return out[:, :n_rows, :]
+    return out[:, : len(save_rows), :]
 
 
 # ---------------------------------------------------------------------------
@@ -469,10 +499,11 @@ def _solve_kernel_adaptive(
     dt0: float,
     t0: float,
     tableau,
+    save_rows,
 ):
     a, b, e, c, n_stages, err_order = tableau
     i = pl.program_id(0)
-    d_pad, block_b = stage.shape
+    s_pad, block_b = stage.shape
     f32 = jnp.float32
     i32 = jnp.int32
     eps = 1e-6 * max(float(save_every), 1.0)
@@ -480,8 +511,8 @@ def _solve_kernel_adaptive(
 
     for r in range(n_rows):
         y_scr[r, :] = y_ref[r, :]
-    for r in range(n_rows, d_pad):  # zero padding rows once
-        stage[r, :] = jnp.zeros_like(stage[r, :])
+    for j in range(len(save_rows), s_pad):  # zero padding rows once
+        stage[j, :] = jnp.zeros_like(stage[j, :])
 
     def _dma(slot):
         return pltpu.make_async_copy(
@@ -491,9 +522,9 @@ def _solve_kernel_adaptive(
         )
 
     def save(slot, reached):
-        for r in range(n_rows):
+        for j, r in enumerate(save_rows):
             v = y_scr[r, :]
-            stage[r, :] = jnp.where(
+            stage[j, :] = jnp.where(
                 reached, v, jnp.full_like(v, jnp.nan)
             ).astype(stage.dtype)
         _dma(slot).start()
@@ -597,16 +628,19 @@ def _solve_kernel_adaptive(
     jax.jit,
     static_argnames=("rhs", "duration", "save_every", "steps_per_save",
                      "rtol", "atol", "dt0", "block_b", "method", "t0",
-                     "save_dtype"),
+                     "save_dtype", "save_rows"),
 )
 def _solve_pallas_adaptive(
     y0_rows, p_rows, *, rhs, duration, save_every, steps_per_save, rtol,
-    atol, dt0, block_b, method, t0, save_dtype="float32",
+    atol, dt0, block_b, method, t0, save_dtype="float32", save_rows=None,
 ):
     n_rows, batch = y0_rows.shape
     n_params = p_rows.shape[0]
+    if save_rows is None:
+        save_rows = tuple(range(n_rows))
     n_saves = int(round(duration / save_every)) + 1
     d_pad = _pad8(n_rows)
+    s_pad = _pad8(len(save_rows))
     p_pad = _pad8(max(n_params, 1))
     save_dtype = jnp.dtype(save_dtype)
 
@@ -626,12 +660,13 @@ def _solve_pallas_adaptive(
         dt0=dt0,
         t0=t0,
         tableau=_ADAPTIVE_METHODS[method],
+        save_rows=save_rows,
     )
     nb = batch // block_b
     out, flags = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((n_saves, d_pad, batch), save_dtype),
+            jax.ShapeDtypeStruct((n_saves, s_pad, batch), save_dtype),
             jax.ShapeDtypeStruct((nb, 8, 128), jnp.int32),
         ],
         grid=(nb,),
@@ -649,12 +684,12 @@ def _solve_pallas_adaptive(
         scratch_shapes=[
             pltpu.VMEM((d_pad, block_b), jnp.float32),
             pltpu.VMEM((d_pad, block_b), jnp.float32),
-            pltpu.VMEM((d_pad, block_b), save_dtype),
+            pltpu.VMEM((s_pad, block_b), save_dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((1,), jnp.float32),
         ],
     )(y_padded, p_padded)
-    return out[:, :n_rows, :], flags
+    return out[:, : len(save_rows), :], flags
 
 
 def ensemble_solve_kernel_adaptive(
@@ -672,6 +707,7 @@ def ensemble_solve_kernel_adaptive(
     method: str = "bosh3",
     save_dtype=jnp.float32,
     t0: float = 0.0,
+    save_rows: Sequence[int] | None = None,
 ):
     """Adaptive (lockstep-dt) whole-solve ensemble kernel for a rows-RHS.
 
@@ -688,12 +724,16 @@ def ensemble_solve_kernel_adaptive(
     ~1e3-scale populations use atol=1e-3: f64-calibrated defaults make the
     f32 controller thrash (CLAUDE.md).
 
-    Returns ``(saves, stats)``: saves ``(n_saves, R, B)`` in ``save_dtype``
-    (NaN rows where a block's attempt budget ran out); ``stats`` has
-    per-block int32 arrays ``exhausted_intervals`` (nonzero means raise
+    Returns ``(saves, stats)``: saves ``(n_saves, len(save_rows), B)`` in
+    ``save_dtype`` (all state rows when ``save_rows`` is None; NaN rows
+    where a block's attempt budget ran out); ``stats`` has per-block int32
+    arrays ``exhausted_intervals`` (nonzero means raise
     ``steps_per_save``), ``n_accepted``, ``n_rejected``. Off-TPU falls back
     to :func:`ensemble_solve_kernel_adaptive_reference` (one global
-    lockstep block).
+    lockstep block). ``save_rows`` selects which rows are saved -- the
+    output buffer bounds the kernel's max width, so observable-only saves
+    widen the largest ensemble that fits (see
+    :func:`ensemble_solve_kernel`).
     """
     if method not in _ADAPTIVE_METHODS:
         raise ValueError(
@@ -715,13 +755,14 @@ def ensemble_solve_kernel_adaptive(
         raise ValueError("duration must cover at least one save interval")
     if dt0 is None:
         dt0 = save_every / 8.0
+    save_rows = _check_save_rows(save_rows, n_rows)
     if jax.default_backend() not in ("tpu",):
         saves, stats = ensemble_solve_kernel_adaptive_reference(
             rhs, y0_rows, p_rows, duration=duration, save_every=save_every,
             rtol=rtol, atol=atol, dt0=dt0, steps_per_save=steps_per_save,
             method=method, t0=t0,
         )
-        return saves.astype(save_dtype), stats
+        return saves.astype(save_dtype)[:, list(save_rows), :], stats
     if block_b is None:
         block_b = pick_block_b(batch)
     if batch % block_b:
@@ -733,7 +774,7 @@ def ensemble_solve_kernel_adaptive(
         save_every=float(save_every), steps_per_save=int(steps_per_save),
         rtol=float(rtol), atol=float(atol), dt0=float(dt0),
         block_b=int(block_b), method=method, t0=float(t0),
-        save_dtype=jnp.dtype(save_dtype).name,
+        save_dtype=jnp.dtype(save_dtype).name, save_rows=save_rows,
     )
     stats = {
         "exhausted_intervals": flags[:, 0, 0],

@@ -376,3 +376,74 @@ def test_adaptive_multiblock_interpret_lockstep_per_block():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(gold), rtol=0, atol=5e-5
     )
+
+
+def test_save_rows_constant_step_interpret():
+    """save_rows saves exactly the selected rows, in the given order."""
+    B = 128
+    y0, p = _sir_rows(B, seed=10)
+    full = gp.ensemble_solve_kernel_reference(
+        sir_rhs, y0, p, duration=10.0, dt=0.5,
+    )
+    orig = pl.pallas_call
+    gp.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        with um.patch.object(gp.jax, "default_backend", lambda: "tpu"):
+            out = gp.ensemble_solve_kernel(
+                sir_rhs, y0, p, duration=10.0, dt=0.5, block_b=128,
+                save_rows=(2, 0),
+            )
+    finally:
+        gp.pl.pallas_call = orig
+    assert out.shape == (11, 2, B)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(full[:, [2, 0], :]), rtol=2e-6, atol=1e-7
+    )
+
+
+def test_save_rows_cpu_fallback_slices():
+    B = 64
+    y0, p = _sir_rows(B, seed=11)
+    full = gp.ensemble_solve_kernel(sir_rhs, y0, p, duration=10.0, dt=0.5)
+    sel = gp.ensemble_solve_kernel(
+        sir_rhs, y0, p, duration=10.0, dt=0.5, save_rows=(1,),
+    )
+    assert sel.shape == (11, 1, B)
+    np.testing.assert_array_equal(np.asarray(sel[:, 0]), np.asarray(full[:, 1]))
+
+
+def test_save_rows_adaptive_interpret():
+    B = 128
+    y0, p = _sir_rows(B, seed=12)
+    ref, rstats = gp.ensemble_solve_kernel_adaptive_reference(
+        sir_rhs, y0, p, duration=20.0, rtol=1e-5, atol=1e-8,
+    )
+    orig = pl.pallas_call
+    gp.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        with um.patch.object(gp.jax, "default_backend", lambda: "tpu"):
+            out, stats = gp.ensemble_solve_kernel_adaptive(
+                sir_rhs, y0, p, duration=20.0, rtol=1e-5, atol=1e-8,
+                block_b=128, save_rows=(1,),
+            )
+    finally:
+        gp.pl.pallas_call = orig
+    assert out.shape == (21, 1, B)
+    np.testing.assert_allclose(
+        np.asarray(out[:, 0]), np.asarray(ref[:, 1]), rtol=2e-6, atol=1e-7
+    )
+    # same controller decisions as the unrestricted solve
+    for key in ("exhausted_intervals", "n_accepted", "n_rejected"):
+        assert int(stats[key][0]) == int(rstats[key][0]), key
+
+
+def test_save_rows_validation():
+    y0 = jnp.zeros((3, 8))
+    with pytest.raises(ValueError, match="out of range"):
+        gp.ensemble_solve_kernel(
+            sir_rhs, y0, duration=1.0, dt=0.5, save_rows=(3,),
+        )
+    with pytest.raises(ValueError, match="at least one row"):
+        gp.ensemble_solve_kernel(
+            sir_rhs, y0, duration=1.0, dt=0.5, save_rows=(),
+        )
