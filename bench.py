@@ -54,6 +54,8 @@ WIDE_ENSEMBLE = 79872
 # just adds blocks at full rate): 1.24M traj/s at 80k -> 1.87M at 160k
 # (quiet tunnel, auto block_b=2048); 320k OOMs the (T, D, B) save buffer
 KERNEL_WIDE_ENSEMBLE = 163840
+# observable-only saves (save_rows) quarter the save buffer: 2x wider still
+OBS_WIDE_ENSEMBLE = 327680
 CPU_ENSEMBLE = 256
 
 # v5e single-chip peaks (public spec; see probes/probe_seip_roofline.py)
@@ -171,15 +173,26 @@ def bench_pallas(base, y0, n, repeats=3, name="pallas_multistrain"):
     return _timed_median(name, run, n, repeats)
 
 
-def bench_generic_kernel(base, y0, n, repeats=3, name="generic_kernel"):
+def bench_generic_kernel(
+    base, y0, n, repeats=3, name="generic_kernel", save_rows=None,
+    save_dtype=jnp.float32,
+):
     """Round-4 generic rows-RHS whole-solve engine, production-shaped: per
     repeat a FRESH parameter draw is packed and solved inside ONE jitted
     program (packing fuses with the kernel launch instead of dispatching
-    eager transposes -- the specialized-entry rows pay that eagerly)."""
+    eager transposes -- the specialized-entry rows pay that eagerly).
+
+    ``save_rows="c"`` saves only the A*K cumulative-incidence rows (the
+    rows a fit observes) -- the (T, rows, B) save buffer bounds the
+    kernel's max width, so observable-only bf16 saves unlock ~2x the
+    widest f32 full-rows ensemble (probes/probe_save_rows_width.py);
+    gated against the full-rows solve on a 2048-lane slice."""
     import dynode_tpu.ops.multistrain_pallas as mp
     from dynode_tpu.ops import ensemble_solve_kernel
 
     A, K = mp.A_DIM, mp.K_DIM
+    D = mp._d_rows(A, K)
+    rows_sel = tuple(range(D - A * K, D)) if save_rows == "c" else None
     contact = tuple(
         tuple(float(v) for v in row)
         for row in jnp.asarray(base.contact_matrix).tolist()
@@ -193,17 +206,33 @@ def bench_generic_kernel(base, y0, n, repeats=3, name="generic_kernel"):
 
     y_packed = mp.pack_state(y0, n)
 
+    def pack(nn, scales):
+        beta = base.beta[None, :] * scales[:, None]
+        return mp.pack_params(beta, base.sigma, base.gamma, base.omega, nn)
+
     @jax.jit
     def fused(yp, scales):
-        beta = base.beta[None, :] * scales[:, None]
-        pp = mp.pack_params(beta, base.sigma, base.gamma, base.omega, n)
-        return ensemble_solve_kernel(rhs, yp, pp, duration=DURATION, dt=DT)
+        return ensemble_solve_kernel(
+            rhs, yp, pack(yp.shape[1], scales), duration=DURATION, dt=DT,
+            save_rows=rows_sel, save_dtype=save_dtype,
+        )
 
     def run(seed):
         return fused(y_packed, _draws(n, seed))
 
     s = _sync(run(0))  # compile
     assert jnp.isfinite(jnp.asarray(s)), "generic kernel produced non-finite"
+    if rows_sel is not None:
+        # equivalence gate: selected rows == the full-rows solve's slice
+        # (same solve math; only save staging/dtype differ)
+        scales_s = _draws(n, 0)[:2048]
+        yp_s = y_packed[:, :2048]
+        sel = fused(yp_s, scales_s).astype(jnp.float32)
+        full = ensemble_solve_kernel(
+            rhs, yp_s, pack(2048, scales_s), duration=DURATION, dt=DT,
+        )[:, list(rows_sel), :].astype(jnp.float32)
+        rel = float(jnp.max(jnp.abs(sel - full)) / jnp.max(jnp.abs(full)))
+        assert rel < 1e-2, f"save_rows gate failed: rel {rel:.2e}"
     return _timed_median(name, run, n, repeats)
 
 
@@ -524,8 +553,23 @@ def main():
         )
     except Exception as e:
         print(f"[bench] generic kernel path failed: {e}", file=sys.stderr)
+    generic_obs_tps = 0.0
+    try:
+        generic_obs_tps = bench_generic_kernel(
+            base, y0, OBS_WIDE_ENSEMBLE, name="generic_kernel_obs_max",
+            save_rows="c", save_dtype=jnp.bfloat16,
+        )
+        print(
+            f"[bench] generic kernel, observable-only bf16 saves "
+            f"(save_rows=c, {OBS_WIDE_ENSEMBLE}): {generic_obs_tps:,.0f} "
+            "traj/s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] generic obs-save kernel path failed: {e}",
+              file=sys.stderr)
     tps_best = max(tps, wide_tps, pallas_wide_tps, pallas_max_tps,
-                   generic_tps)
+                   generic_tps, generic_obs_tps)
 
     xla_tps = 0.0
     try:
@@ -797,15 +841,20 @@ def main():
         "vs_baseline_adaptive_same_program": round(vs_adaptive, 2),
         "baseline_source": baseline_source,
         "ensemble_width": (
-            KERNEL_WIDE_ENSEMBLE
-            if tps_best in (pallas_max_tps, generic_tps)
-            else (WIDE_ENSEMBLE if tps_best > tps else ENSEMBLE)
+            OBS_WIDE_ENSEMBLE
+            if tps_best == generic_obs_tps
+            else (
+                KERNEL_WIDE_ENSEMBLE
+                if tps_best in (pallas_max_tps, generic_tps)
+                else (WIDE_ENSEMBLE if tps_best > tps else ENSEMBLE)
+            )
         ),
         "value_at_10k": round(tps, 1),
         "traj_per_sec": round(tps_best, 1),
         "traj_per_sec_pallas_wide": round(pallas_wide_tps, 1),
         "traj_per_sec_pallas_max": round(pallas_max_tps, 1),
         "traj_per_sec_generic_kernel": round(generic_tps, 1),
+        "traj_per_sec_generic_kernel_obs_saves": round(generic_obs_tps, 1),
         "traj_per_sec_adaptive": round(adaptive_tps, 1),
         "traj_per_sec_generic_adaptive": round(gen_adapt_tps, 1),
         "generic_adaptive_gate_rel_err": round(gen_adapt_rel, 6),
@@ -845,6 +894,13 @@ def main():
                 "achieved_save_dma_gbps": round(seip_kernel_save_gbps, 2),
                 "bound_by": "VMEM capacity (output save buffer sets max "
                 "width) + VPU: state never touches HBM",
+            },
+            "generic_kernel_obs_max": {
+                "bound_by": "VPU + save buffer: save_rows=c saves only "
+                "the 6 observable incidence rows of 26 (bf16), cutting "
+                "the (T,rows,B) buffer ~8.7x vs full f32 -- unlocks "
+                "B=327680 (491520 OOMs) at the highest measured "
+                "multistrain throughput",
             },
             "generic_adaptive_max": {
                 "bound_by": "VPU: ~1.0 accepted lockstep BS3 steps/day "

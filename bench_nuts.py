@@ -41,6 +41,12 @@ NUM_CHAINS = 4096
 # collapses ESS (too-short trajectories). Swept in round 2: depth 6 -> 961
 # ESS/s, 4 -> 1346, 3 -> 2636, 2 -> 471 (1024 chains, v5e-1).
 MAX_TREE_DEPTH = 3
+# ChEES headline draws: the chain-width knee is saturated at 4096 (8192 and
+# 16384 chains measured FLAT -- wall scales linearly past chip saturation)
+# but the warmup floor still amortizes across draws: 4096 x (200+400) gives
+# 34.1k ESS/s vs 22.8k at (200+200), with 8192 x (200+400) slightly worse
+# (29.8k). Swept in probes/probe_chees_width_sweep.py (round 4).
+CHEES_NUM_SAMPLES = 400
 
 
 def build_model():
@@ -124,7 +130,7 @@ def bench_chees(
     obs,
     num_chains=NUM_CHAINS,
     num_warmup=NUM_WARMUP,
-    num_samples=NUM_SAMPLES,
+    num_samples=CHEES_NUM_SAMPLES,
 ):
     """ChEES-HMC on the same posterior: every chain takes the SAME number
     of leapfrog steps per transition (shared learned trajectory, Halton

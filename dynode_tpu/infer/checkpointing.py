@@ -27,7 +27,9 @@ def checkpoint_compartment_sizes(
     sites are ``{Y_m_d}_timestep_{compartment}``. Dates outside the solved
     range are silently skipped.
     """
-    assert solution.ys is not None, "solution.ys returned None, odes failed."
+    assert (
+        solution.ys is not None
+    ), "cannot checkpoint: the solve produced no saved states (solution.ys is None)"
     if save_final_timesteps:
         for name, idx in config.idx.__dict__.items():
             handlers.deterministic(

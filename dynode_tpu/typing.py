@@ -32,11 +32,13 @@ ObservedData = Union[Tuple[jax.Array, ...], jax.Array]
 def _verify_name(name: str) -> str:
     """Reject names with leading digits, spaces, or non-alnum/underscore chars."""
     if name[0].isnumeric():
-        raise ValueError("Name can not start with a number.")
+        raise ValueError(f"invalid name {name!r}: leading digit")
     if " " in name:
-        raise ValueError("Name can not have spaces.")
+        raise ValueError(f"invalid name {name!r}: contains spaces")
     if not all(ch.isalnum() or ch == "_" for ch in name):
-        raise ValueError("Name can only contain alphanumerics or underscores.")
+        raise ValueError(
+            f"invalid name {name!r}: only alphanumerics/underscores allowed"
+        )
     return name
 
 
