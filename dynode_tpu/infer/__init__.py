@@ -8,7 +8,15 @@ init strategies/autoguides), all implemented in-repo and TPU-first.
 
 from . import diagnostics, handlers
 from .checkpointing import checkpoint_compartment_sizes
-from .diagnostics import effective_sample_size, hdi, split_rhat, summary
+from .diagnostics import (
+    effective_sample_size,
+    ess_bulk,
+    ess_tail,
+    hdi,
+    mcse_mean,
+    split_rhat,
+    summary,
+)
 from .idata import InferenceData, from_dynode
 from .inference import InferenceProcess, MCMCProcess, SVIProcess
 from .chees import ChEES
@@ -97,6 +105,9 @@ __all__ = [
     "save_mcmc",
     "load_mcmc_warm_start",
     "effective_sample_size",
+    "ess_bulk",
+    "ess_tail",
+    "mcse_mean",
     "split_rhat",
     "hdi",
     "summary",

@@ -35,6 +35,10 @@ def effective_sample_size(x: np.ndarray) -> float:
     var_plus = mean_var * (n - 1.0) / n
     if m > 1:
         var_plus += np.var(x.mean(axis=1), ddof=1)
+    if var_plus <= 0.0:
+        # a zero-variance (constant) series carries no sampling
+        # information -- ESS is undefined (arviz convention: NaN)
+        return float("nan")
 
     rho_hat = np.zeros(n)
     rho_hat[0] = 1.0
@@ -58,6 +62,74 @@ def effective_sample_size(x: np.ndarray) -> float:
         t += 2
     tau = 1.0 + 2.0 * np.sum(rho_hat[1:t])
     return float(m * n / max(tau, 1e-12))
+
+
+def _split_chains(x: np.ndarray) -> np.ndarray:
+    """(chains, draws) -> (2*chains, draws//2) split halves."""
+    m, n = x.shape
+    half = n // 2
+    return np.concatenate([x[:, :half], x[:, half : 2 * half]], axis=0)
+
+
+def _rank_normalize(x: np.ndarray) -> np.ndarray:
+    """Fractional ranks across ALL draws -> standard-normal quantiles.
+
+    The Vehtari et al. (2021) transform that makes ESS/Rhat robust to
+    heavy tails and nonlinear scale: rank over the pooled sample, map
+    rank r to Phi^-1((r - 3/8) / (N + 1/4)).
+    """
+    from scipy.special import ndtri  # local: scipy is a test/diag dep only
+
+    shape = x.shape
+    flat = x.ravel()
+    ranks = np.empty_like(flat)
+    ranks[np.argsort(flat, kind="stable")] = np.arange(1, flat.size + 1)
+    return ndtri((ranks - 0.375) / (flat.size + 0.25)).reshape(shape)
+
+
+def ess_bulk(x: np.ndarray) -> float:
+    """Rank-normalized split-chain bulk ESS (Vehtari et al. 2021).
+
+    Robust where the plain :func:`effective_sample_size` is fooled:
+    heavy-tailed posteriors and location-drifting chains. The arviz
+    ``ess(method="bulk")`` analog.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.shape[-1] < 4:
+        return float(x.size)
+    return effective_sample_size(_rank_normalize(_split_chains(x)))
+
+
+def ess_tail(x: np.ndarray, prob: float = 0.9) -> float:
+    """Tail ESS: min ESS of the 5%/95% quantile indicators (arviz analog).
+
+    Measures how well the chain resolves the distribution *tails* --
+    a bank can have huge bulk ESS yet poorly-mixed extremes (exactly the
+    failure mode of a stuck or step-size-collapsed chain).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.shape[-1] < 4:
+        return float(x.size)
+    lo, hi = (1.0 - prob) / 2.0, 1.0 - (1.0 - prob) / 2.0
+    xs = _split_chains(x)
+    out = []
+    for q in (lo, hi):
+        ind = (xs <= np.quantile(xs, q)).astype(np.float64)
+        out.append(effective_sample_size(ind))
+    # a NaN side means a degenerate (constant) tail indicator -- a mass
+    # point at the extreme value; propagate the NaN loudly
+    return float(np.min(out))
+
+
+def mcse_mean(x: np.ndarray) -> float:
+    """Monte-Carlo standard error of the posterior mean: sd / sqrt(ESS)."""
+    x = np.asarray(x, dtype=np.float64)
+    ess = ess_bulk(x)
+    return float(x.std(ddof=1) / np.sqrt(max(ess, 1e-12)))
 
 
 def split_rhat(x: np.ndarray) -> float:
@@ -112,9 +184,20 @@ def summary(
                 f"hdi_{prob:.0%}_low": float(low),
                 f"hdi_{prob:.0%}_high": float(high),
                 "n_eff": effective_sample_size(sub),
+                "ess_bulk": ess_bulk(sub),
+                "ess_tail": ess_tail(sub),
+                "mcse_mean": mcse_mean(sub),
                 "r_hat": split_rhat(sub),
             }
     return out
 
 
-__all__ = ["effective_sample_size", "split_rhat", "hdi", "summary"]
+__all__ = [
+    "effective_sample_size",
+    "ess_bulk",
+    "ess_tail",
+    "mcse_mean",
+    "split_rhat",
+    "hdi",
+    "summary",
+]
