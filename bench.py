@@ -236,7 +236,9 @@ def bench_generic_kernel(
     return _timed_median(name, run, n, repeats)
 
 
-def bench_generic_adaptive(base, y0, n, repeats=3, name="generic_adaptive"):
+def bench_generic_adaptive(
+    base, y0, n, repeats=3, name="generic_adaptive", save_rows=None,
+):
     """Round-4 adaptive generic kernel: lockstep-dt BS3(2) at rtol=1e-4
     with bf16 save staging (halves the (T,R,B) buffer -- f32 OOMs at
     163840) -- the reference's DEFAULT solve mode (adaptive) on the
@@ -265,13 +267,16 @@ def bench_generic_adaptive(base, y0, n, repeats=3, name="generic_adaptive"):
         beta = base.beta[None, :] * scales[:, None]
         return mp.pack_params(beta, base.sigma, base.gamma, base.omega, nn)
 
+    D = mp._d_rows(A, K)
+    rows_sel = tuple(range(D - A * K, D)) if save_rows == "c" else None
     y_packed = mp.pack_state(y0, n)
 
     @jax.jit
     def fused(yp, scales):
         return ensemble_solve_kernel_adaptive(
-            rhs, yp, pack(n, scales), duration=DURATION,
+            rhs, yp, pack(yp.shape[1], scales), duration=DURATION,
             rtol=1e-4, atol=1e-6, save_dtype=jnp.bfloat16,
+            save_rows=rows_sel,
         )
 
     out, stats = fused(y_packed, _draws(n, 0))  # compile
@@ -282,9 +287,12 @@ def bench_generic_adaptive(base, y0, n, repeats=3, name="generic_adaptive"):
     scales = _draws(n, 0)[:2048]
     yp_s = y_packed[:, :2048]
     pp_s = pack(2048, scales)
-    ref = ensemble_solve_kernel(rhs, yp_s, pp_s, duration=DURATION, dt=0.05)
+    ref = ensemble_solve_kernel(
+        rhs, yp_s, pp_s, duration=DURATION, dt=0.05, save_rows=rows_sel,
+    )
     got, _ = ensemble_solve_kernel_adaptive(
         rhs, yp_s, pp_s, duration=DURATION, rtol=1e-4, atol=1e-6,
+        save_rows=rows_sel,
     )
     rel = float(jnp.max(jnp.abs(got - ref) / (1e-6 + jnp.abs(ref))))
     assert rel < 5e-3, f"adaptive generic accuracy gate failed: {rel}"
@@ -604,7 +612,23 @@ def main():
         )
     except Exception as e:
         print(f"[bench] generic adaptive path failed: {e}", file=sys.stderr)
-    adaptive_tps = max(xla_tps, lane_adapt_tps, gen_adapt_tps)
+    gen_adapt_obs_tps = 0.0
+    try:
+        gen_adapt_obs_tps, obs_rel = bench_generic_adaptive(
+            base, y0, OBS_WIDE_ENSEMBLE, name="generic_adaptive_obs_max",
+            save_rows="c",
+        )
+        print(
+            f"[bench] generic ADAPTIVE kernel, observable-only bf16 saves "
+            f"(save_rows=c, {OBS_WIDE_ENSEMBLE}): {gen_adapt_obs_tps:,.0f} "
+            f"traj/s (gate rel {obs_rel:.2e})",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] generic adaptive obs-save path failed: {e}",
+              file=sys.stderr)
+    adaptive_tps = max(xla_tps, lane_adapt_tps, gen_adapt_tps,
+                       gen_adapt_obs_tps)
 
     # ---- CPU baseline: pinned constant (re-measure only on demand) -------
     cpu_const_tps = float(pins.get("cpu_constant_tps_256", 0.0))
@@ -857,6 +881,9 @@ def main():
         "traj_per_sec_generic_kernel_obs_saves": round(generic_obs_tps, 1),
         "traj_per_sec_adaptive": round(adaptive_tps, 1),
         "traj_per_sec_generic_adaptive": round(gen_adapt_tps, 1),
+        "traj_per_sec_generic_adaptive_obs_saves": round(
+            gen_adapt_obs_tps, 1
+        ),
         "generic_adaptive_gate_rel_err": round(gen_adapt_rel, 6),
         "ess_per_sec": round(ess_per_sec, 1),
         "matched_quality_speedup": round(matched_quality, 1),
