@@ -119,17 +119,20 @@ def create_hybrid_mesh(
     dcn_shape = _interleave(
         axis_names, dcn_axis, num_slices, ici_names, [1] * len(ici_names)
     )
-    if hasattr(devices[0], "slice_index"):
+    topo_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if topo_slices == num_slices and hasattr(devices[0], "slice_index"):
         from jax.experimental import mesh_utils
 
         dev_array = mesh_utils.create_hybrid_device_mesh(
             mesh_shape, dcn_mesh_shape=dcn_shape, devices=devices
         )
     else:
-        # no slice topology attributes (CPU harness / forced split):
-        # slice-major reshape of the given device order -- jax enumerates
-        # devices process- then slice-major, so contiguous blocks are the
-        # closest devices, which is exactly what the DCN axis wants leading
+        # device topology does not report the requested slice split (CPU
+        # harness, forced split, or multi-PROCESS single-slice runs where
+        # the process boundary plays the DCN role): slice-major reshape of
+        # the given device order -- jax enumerates devices process-major,
+        # so contiguous blocks are the closest devices, which is exactly
+        # what the leading DCN axis wants
         full = tuple(a * b for a, b in zip(dcn_shape, mesh_shape))
         dev_array = np.asarray(devices).reshape(full)
     return Mesh(dev_array, tuple(axis_names))
