@@ -54,8 +54,12 @@ WIDE_ENSEMBLE = 79872
 # just adds blocks at full rate): 1.24M traj/s at 80k -> 1.87M at 160k
 # (quiet tunnel, auto block_b=2048); 320k OOMs the (T, D, B) save buffer
 KERNEL_WIDE_ENSEMBLE = 163840
-# observable-only saves (save_rows) quarter the save buffer: 2x wider still
-OBS_WIDE_ENSEMBLE = 327680
+# observable-only saves (save_rows) quarter the save buffer: 4x wider still.
+# Round 4: the recorded "491520 OOMs in every variant" was an allocation-
+# poisoning artifact (the genuinely-OOM full-f32 launch ran FIRST in the
+# same process); fresh-process obs-saves scale to 983040 @ 5.67M traj/s
+# (probes/probe_save_rows_width.py). 655360 leaves in-bench HBM headroom.
+OBS_WIDE_ENSEMBLE = 655360
 CPU_ENSEMBLE = 256
 
 # v5e single-chip peaks (public spec; see probes/probe_seip_roofline.py)
@@ -926,8 +930,10 @@ def main():
                 "bound_by": "VPU + save buffer: save_rows=c saves only "
                 "the 6 observable incidence rows of 26 (bf16), cutting "
                 "the (T,rows,B) buffer ~8.7x vs full f32 -- unlocks "
-                "B=327680 (491520 OOMs) at the highest measured "
-                "multistrain throughput",
+                "B=655360 in-bench (983040 measured fresh-process at "
+                "5.67M traj/s) at the highest multistrain throughput; "
+                "the old 491520 OOM record was same-process alloc "
+                "poisoning by the full-f32 variant",
             },
             "generic_adaptive_max": {
                 "bound_by": "VPU: ~1.0 accepted lockstep BS3 steps/day "

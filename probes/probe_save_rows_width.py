@@ -7,7 +7,13 @@ just the A*K cumulative-incidence rows (6 of 26) -- cutting the buffer
 ~4.3x. Measure multistrain throughput at/beyond the previous max width
 with full vs incidence-only saves.
 
-Usage: python probes/probe_save_rows_width.py  (TPU)
+Usage: python probes/probe_save_rows_width.py [B ...] [--variant NAME]  (TPU)
+
+Round-4 finding: run ONE (B, variant) per process when probing the width
+wall -- a genuinely-OOM launch (full-f32 at 491520 is a 12.6 GB buffer)
+poisons later allocations in the same process, which is how "every
+variant OOMs at 491520" was mis-recorded; fresh-process c-only bf16 at
+491520 fits and runs (see CLAUDE.md).
 """
 
 import sys
@@ -67,12 +73,22 @@ def main():
 
     solve_j = jax.jit(solve, static_argnames=("B", "save_rows", "save_dtype"))
 
-    for B in (163840, 245760, 327680, 491520):
-        for label, rows, dt_ in (
-            ("full-f32", None, jnp.float32),
-            ("full-bf16", None, jnp.bfloat16),
-            ("c-only-bf16", C_ROWS, jnp.bfloat16),
-        ):
+    variants = (
+        ("full-f32", None, jnp.float32),
+        ("full-bf16", None, jnp.bfloat16),
+        ("c-only-bf16", C_ROWS, jnp.bfloat16),
+    )
+    argv = sys.argv[1:]
+    only = None
+    if "--variant" in argv:
+        i = argv.index("--variant")
+        only = argv[i + 1]
+        del argv[i : i + 2]
+    widths = tuple(int(a) for a in argv) or (163840, 245760, 327680, 491520)
+    for B in widths:
+        for label, rows, dt_ in variants:
+            if only is not None and label != only:
+                continue
             try:
                 _sync(solve_j(B, 0, rows, dt_))  # compile + warm
                 walls = []
