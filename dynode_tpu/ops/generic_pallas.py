@@ -296,6 +296,7 @@ def ensemble_solve_kernel(
     t0: float = 0.0,
     save_dtype=jnp.float32,
     save_rows: Sequence[int] | None = None,
+    padded_rows: bool = False,
 ):
     """Whole-solve lane-major ensemble kernel for a user rows-RHS.
 
@@ -319,6 +320,14 @@ def ensemble_solve_kernel(
         observable rows (e.g. the cumulative-incidence rows of a fit)
         multiplies the widest ensemble that fits in HBM -- the generic
         analog of the SEIP kernel's ``save=`` (ops/seip_pallas.py).
+    padded_rows: return the raw 8-sublane-padded save buffer
+        ``(n_saves, pad8(len(save_rows)), B)`` (padding rows zero)
+        instead of slicing to exact rows. Mosaic save DMAs require
+        8-aligned row tiles, so the exact-rows result is a full-size
+        post-kernel COPY: at max ensemble width the padded buffer and
+        the sliced copy coexist (~1.7x the peak HBM of the buffer
+        alone). ``padded_rows=True`` skips the copy -- the max-width
+        lever when the save buffer bounds the ensemble.
 
     Returns ``(n_saves, len(save_rows), B)`` saves in ``save_dtype``
     (rows in ``save_rows`` order; :func:`unpack_rows` for the full-rows
@@ -346,7 +355,10 @@ def ensemble_solve_kernel(
             rhs, y0_rows, p_rows, duration=duration, dt=dt,
             save_every=save_every, method=method, t0=t0,
         ).astype(save_dtype)
-        return full[:, list(save_rows), :]
+        picked = full[:, list(save_rows), :]
+        if padded_rows:
+            return _pad_save_rows(picked)
+        return picked
     if block_b is None:
         block_b = pick_block_b(batch)
     if batch % block_b:
@@ -355,18 +367,29 @@ def ensemble_solve_kernel(
         y0_rows, p_rows, rhs=rhs, duration=float(duration), dt=float(dt),
         save_every=float(save_every), block_b=int(block_b), method=method,
         t0=float(t0), save_dtype=jnp.dtype(save_dtype).name,
-        save_rows=save_rows,
+        save_rows=save_rows, padded_rows=bool(padded_rows),
     )
+
+
+def _pad_save_rows(picked):
+    """Replicate the kernel's 8-padded save layout (zero padding rows)."""
+    n_saves, n_save, batch = picked.shape
+    s_pad = _pad8(n_save)
+    if s_pad == n_save:
+        return picked
+    pad = jnp.zeros((n_saves, s_pad - n_save, batch), picked.dtype)
+    return jnp.concatenate([picked, pad], axis=1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("rhs", "duration", "dt", "save_every", "block_b",
-                     "method", "t0", "save_dtype", "save_rows"),
+                     "method", "t0", "save_dtype", "save_rows",
+                     "padded_rows"),
 )
 def _solve_pallas(
     y0_rows, p_rows, *, rhs, duration, dt, save_every, block_b, method, t0,
-    save_dtype="float32", save_rows=None,
+    save_dtype="float32", save_rows=None, padded_rows=False,
 ):
     n_rows, batch = y0_rows.shape
     n_params = p_rows.shape[0]
@@ -412,6 +435,8 @@ def _solve_pallas(
             pltpu.SemaphoreType.DMA,
         ],
     )(y_padded, p_padded)
+    if padded_rows:
+        return out
     return out[:, : len(save_rows), :]
 
 
@@ -628,11 +653,12 @@ def _solve_kernel_adaptive(
     jax.jit,
     static_argnames=("rhs", "duration", "save_every", "steps_per_save",
                      "rtol", "atol", "dt0", "block_b", "method", "t0",
-                     "save_dtype", "save_rows"),
+                     "save_dtype", "save_rows", "padded_rows"),
 )
 def _solve_pallas_adaptive(
     y0_rows, p_rows, *, rhs, duration, save_every, steps_per_save, rtol,
     atol, dt0, block_b, method, t0, save_dtype="float32", save_rows=None,
+    padded_rows=False,
 ):
     n_rows, batch = y0_rows.shape
     n_params = p_rows.shape[0]
@@ -689,6 +715,8 @@ def _solve_pallas_adaptive(
             pltpu.SMEM((1,), jnp.float32),
         ],
     )(y_padded, p_padded)
+    if padded_rows:
+        return out, flags
     return out[:, : len(save_rows), :], flags
 
 
@@ -708,6 +736,7 @@ def ensemble_solve_kernel_adaptive(
     save_dtype=jnp.float32,
     t0: float = 0.0,
     save_rows: Sequence[int] | None = None,
+    padded_rows: bool = False,
 ):
     """Adaptive (lockstep-dt) whole-solve ensemble kernel for a rows-RHS.
 
@@ -732,7 +761,8 @@ def ensemble_solve_kernel_adaptive(
     to :func:`ensemble_solve_kernel_adaptive_reference` (one global
     lockstep block). ``save_rows`` selects which rows are saved -- the
     output buffer bounds the kernel's max width, so observable-only saves
-    widen the largest ensemble that fits (see
+    widen the largest ensemble that fits; ``padded_rows=True``
+    additionally skips the exact-rows slice copy (see
     :func:`ensemble_solve_kernel`).
     """
     if method not in _ADAPTIVE_METHODS:
@@ -762,7 +792,10 @@ def ensemble_solve_kernel_adaptive(
             rtol=rtol, atol=atol, dt0=dt0, steps_per_save=steps_per_save,
             method=method, t0=t0,
         )
-        return saves.astype(save_dtype)[:, list(save_rows), :], stats
+        picked = saves.astype(save_dtype)[:, list(save_rows), :]
+        if padded_rows:
+            picked = _pad_save_rows(picked)
+        return picked, stats
     if block_b is None:
         block_b = pick_block_b(batch)
     if batch % block_b:
@@ -775,6 +808,7 @@ def ensemble_solve_kernel_adaptive(
         rtol=float(rtol), atol=float(atol), dt0=float(dt0),
         block_b=int(block_b), method=method, t0=float(t0),
         save_dtype=jnp.dtype(save_dtype).name, save_rows=save_rows,
+        padded_rows=bool(padded_rows),
     )
     stats = {
         "exhausted_intervals": flags[:, 0, 0],

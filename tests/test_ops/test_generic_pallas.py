@@ -437,6 +437,65 @@ def test_save_rows_adaptive_interpret():
         assert int(stats[key][0]) == int(rstats[key][0]), key
 
 
+def test_padded_rows_constant_step_interpret():
+    """padded_rows=True returns the 8-padded buffer with zero pad rows.
+
+    The exact-rows result is a full-size post-kernel copy (Mosaic save
+    DMAs need 8-aligned row tiles); padded_rows skips it -- the max-width
+    lever when the save buffer bounds the ensemble.
+    """
+    B = 128
+    y0, p = _sir_rows(B, seed=13)
+    orig = pl.pallas_call
+    gp.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        with um.patch.object(gp.jax, "default_backend", lambda: "tpu"):
+            exact = gp.ensemble_solve_kernel(
+                sir_rhs, y0, p, duration=10.0, dt=0.5, block_b=128,
+                save_rows=(2, 0),
+            )
+            padded = gp.ensemble_solve_kernel(
+                sir_rhs, y0, p, duration=10.0, dt=0.5, block_b=128,
+                save_rows=(2, 0), padded_rows=True,
+            )
+    finally:
+        gp.pl.pallas_call = orig
+    assert padded.shape == (11, 8, B)
+    np.testing.assert_array_equal(
+        np.asarray(padded[:, :2]), np.asarray(exact)
+    )
+    assert not np.any(np.asarray(padded[:, 2:]))
+
+
+def test_padded_rows_cpu_fallback_matches_layout():
+    """The CPU fallback replicates the kernel's padded layout exactly."""
+    B = 64
+    y0, p = _sir_rows(B, seed=14)
+    exact = gp.ensemble_solve_kernel(
+        sir_rhs, y0, p, duration=10.0, dt=0.5, save_rows=(1,),
+    )
+    padded = gp.ensemble_solve_kernel(
+        sir_rhs, y0, p, duration=10.0, dt=0.5, save_rows=(1,),
+        padded_rows=True,
+    )
+    assert padded.shape == (11, 8, B)
+    np.testing.assert_array_equal(np.asarray(padded[:, :1]), np.asarray(exact))
+    assert not np.any(np.asarray(padded[:, 1:]))
+    # adaptive variant, same contract
+    exact_a, _ = gp.ensemble_solve_kernel_adaptive(
+        sir_rhs, y0, p, duration=10.0, rtol=1e-5, atol=1e-8, save_rows=(1,),
+    )
+    padded_a, _ = gp.ensemble_solve_kernel_adaptive(
+        sir_rhs, y0, p, duration=10.0, rtol=1e-5, atol=1e-8, save_rows=(1,),
+        padded_rows=True,
+    )
+    assert padded_a.shape == (11, 8, B)
+    np.testing.assert_array_equal(
+        np.asarray(padded_a[:, :1]), np.asarray(exact_a)
+    )
+    assert not np.any(np.asarray(padded_a[:, 1:]))
+
+
 def test_save_rows_validation():
     y0 = jnp.zeros((3, 8))
     with pytest.raises(ValueError, match="out of range"):
