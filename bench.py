@@ -190,7 +190,11 @@ def bench_generic_kernel(
     rows a fit observes) -- the (T, rows, B) save buffer bounds the
     kernel's max width, so observable-only bf16 saves unlock ~2x the
     widest f32 full-rows ensemble (probes/probe_save_rows_width.py);
-    gated against the full-rows solve on a 2048-lane slice."""
+    gated against the full-rows solve on a 2048-lane slice. Obs rows run
+    ``padded_rows=True``: the exact-rows result is a full-size post-kernel
+    copy (Mosaic save DMAs need 8-aligned row tiles), so returning the raw
+    8-padded buffer skips ~1.7x HBM traffic/peak at max width -- the gate
+    slices the live rows outside the timed region."""
     import dynode_tpu.ops.multistrain_pallas as mp
     from dynode_tpu.ops import ensemble_solve_kernel
 
@@ -219,6 +223,7 @@ def bench_generic_kernel(
         return ensemble_solve_kernel(
             rhs, yp, pack(yp.shape[1], scales), duration=DURATION, dt=DT,
             save_rows=rows_sel, save_dtype=save_dtype,
+            padded_rows=rows_sel is not None,
         )
 
     def run(seed):
@@ -231,7 +236,7 @@ def bench_generic_kernel(
         # (same solve math; only save staging/dtype differ)
         scales_s = _draws(n, 0)[:2048]
         yp_s = y_packed[:, :2048]
-        sel = fused(yp_s, scales_s).astype(jnp.float32)
+        sel = fused(yp_s, scales_s)[:, :len(rows_sel), :].astype(jnp.float32)
         full = ensemble_solve_kernel(
             rhs, yp_s, pack(2048, scales_s), duration=DURATION, dt=DT,
         )[:, list(rows_sel), :].astype(jnp.float32)
@@ -280,7 +285,7 @@ def bench_generic_adaptive(
         return ensemble_solve_kernel_adaptive(
             rhs, yp, pack(yp.shape[1], scales), duration=DURATION,
             rtol=1e-4, atol=1e-6, save_dtype=jnp.bfloat16,
-            save_rows=rows_sel,
+            save_rows=rows_sel, padded_rows=rows_sel is not None,
         )
 
     out, stats = fused(y_packed, _draws(n, 0))  # compile
