@@ -60,6 +60,8 @@ from .util import (
 sample = handlers.sample
 deterministic = handlers.deterministic
 param = handlers.param
+plate = handlers.plate
+factor = handlers.factor
 
 __all__ = [
     "handlers",
@@ -67,6 +69,8 @@ __all__ = [
     "sample",
     "deterministic",
     "param",
+    "plate",
+    "factor",
     "sample_then_resolve",
     "resolve_deterministic",
     "sample_distributions",

@@ -11,6 +11,9 @@ managers stacked around model execution:
 - ``trace()``: records every site (name, fn, value, observed flag).
 - ``substitute(data=...)``: forces named sites to given values.
 - ``condition(data=...)``: like substitute but marks sites observed.
+- ``plate(name, size, dim=...)``: batch of conditionally independent draws
+  (the reference's users write ``numpyro.plate`` models -- its utils
+  flatten plated samples, /root/reference/src/dynode/utils/utils.py:45-61).
 
 Everything here happens at Python trace time; handler overhead never appears
 in the compiled XLA program.
@@ -20,6 +23,7 @@ from collections import OrderedDict
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..dist import Distribution
 
@@ -119,6 +123,82 @@ class block(Messenger):
         self.hide_fn = hide_fn or (lambda msg: True)
 
 
+class plate(Messenger):
+    """Batch dimension of conditionally independent sample draws.
+
+    ``with plate("strain", 3):`` gives every enclosed sample site an extra
+    batch dimension of size 3 (independent draws; log-probs sum over it in
+    the joint, which is exactly how the flat sum in
+    :func:`~dynode_tpu.infer.util.log_density` treats batch dims). Nested
+    plates stack dims right-to-left; ``dim=`` (negative, counting from the
+    right of the batch shape) pins a dimension explicitly -- numpyro.plate
+    semantics, which the reference's model-authoring docs assume (its
+    ``flatten_list_parameters`` exists to post-process plated samples,
+    /root/reference/src/dynode/utils/utils.py:45-61).
+
+    Data subsampling (``subsample_size < size``) is not implemented: the
+    reference never subsamples, and on TPU the full-data likelihood is the
+    fast path (one fused reduction; gather-based minibatching would add
+    host round-trips for no win at epi-model data sizes).
+    """
+
+    def __init__(self, name: str, size: int, subsample_size=None, dim=None):
+        if int(size) <= 0:
+            raise ValueError(f"plate {name!r} needs a positive size, got {size}")
+        if subsample_size is not None and subsample_size != size:
+            raise NotImplementedError(
+                "plate subsampling is not supported (the full-data "
+                "likelihood is the TPU fast path); use subsample_size=None"
+            )
+        if dim is not None and dim >= 0:
+            raise ValueError(f"plate dim must be negative, got {dim}")
+        self.name = name
+        self.size = int(size)
+        self.dim = dim
+        self._explicit_dim = dim is not None
+
+    def __enter__(self):
+        occupied = {p.dim for p in _STACK if isinstance(p, plate)}
+        if self._explicit_dim:
+            if self.dim in occupied:
+                raise ValueError(
+                    f"plate {self.name!r}: dim {self.dim} is already taken "
+                    "by an enclosing plate"
+                )
+        else:
+            d = -1
+            while d in occupied:
+                d -= 1
+            self.dim = d
+        return super().__enter__()
+
+    def __exit__(self, exc_type, exc_value, tb):
+        super().__exit__(exc_type, exc_value, tb)
+        if not self._explicit_dim:
+            self.dim = None
+
+    def process_message(self, msg):
+        if msg["type"] == "sample":
+            msg.setdefault("cond_indep_stack", []).append(
+                (self.name, self.size, self.dim)
+            )
+
+
+def _expand_for_plates(msg) -> None:
+    """Broadcast a sample site's distribution over its enclosing plates."""
+    stack = msg.get("cond_indep_stack")
+    fn = msg["fn"]
+    if not stack or not isinstance(fn, Distribution):
+        return
+    ndim = max(-d for (_, _, d) in stack)
+    plate_shape = [1] * ndim
+    for _, size, d in stack:
+        plate_shape[d] = size
+    target = jnp.broadcast_shapes(tuple(plate_shape), fn.batch_shape)
+    if target != fn.batch_shape:
+        msg["fn"] = fn.expand(target)
+
+
 def _active_handlers():
     """Handlers inside the innermost ``block`` (which still sees nothing)."""
     for i in range(len(_STACK) - 1, -1, -1):
@@ -135,6 +215,8 @@ def _apply_stack(msg: Dict[str, Any]) -> Dict[str, Any]:
     for handler in reversed(active):
         handler.process_message(msg)
 
+    if msg["type"] == "sample":
+        _expand_for_plates(msg)
     if msg["type"] == "sample" and msg["value"] is None:
         if msg["is_observed"]:
             raise RuntimeError("observed sample site lost its value")
@@ -232,6 +314,7 @@ __all__ = [
     "substitute",
     "condition",
     "block",
+    "plate",
     "sample",
     "factor",
     "deterministic",
