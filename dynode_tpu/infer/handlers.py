@@ -225,7 +225,9 @@ def _apply_stack(msg: Dict[str, Any]) -> Dict[str, Any]:
                 f"site {msg['name']!r} needs an rng_key: run the model under "
                 "handlers.seed(...) or pass rng_key= to sample()."
             )
-        msg["value"] = msg["fn"].sample(msg["rng_key"])
+        msg["value"] = msg["fn"].sample(
+            msg["rng_key"], msg.get("sample_shape", ())
+        )
     if msg["type"] == "param" and msg["value"] is None:
         msg["value"] = msg["init_value"]
 
@@ -260,6 +262,7 @@ def sample(
         "value": obs,
         "is_observed": obs is not None,
         "rng_key": rng_key,
+        "sample_shape": tuple(sample_shape),
     }
     return _apply_stack(msg)["value"]
 

@@ -181,3 +181,24 @@ def test_svi_through_plated_model():
     mu = np.asarray(post["mu"])
     assert mu.shape == (500, 3)
     np.testing.assert_allclose(mu.mean(0), TRUE_MU, atol=0.3)
+
+
+def test_sample_shape_respected_under_handlers():
+    # sample_shape used to be silently dropped when a handler stack was
+    # active (the no-stack path honored it); pin the handled path too
+    with handlers.trace() as tr, handlers.seed(0):
+        x = handlers.sample("x", dist.Normal(0.0, 1.0), sample_shape=(5,))
+    assert x.shape == (5,)
+    assert tr["x"]["value"].shape == (5,)
+
+
+def test_sample_shape_composes_with_plate():
+    def model():
+        with handlers.plate("strain", 3):
+            return handlers.sample(
+                "x", dist.Normal(0.0, 1.0), sample_shape=(5,)
+            )
+
+    with handlers.seed(0):
+        x = model()
+    assert x.shape == (5, 3)
