@@ -153,7 +153,9 @@ def bench_chees(
     t0 = time.perf_counter()
     mcmc.run(jax.random.PRNGKey(1), obs=obs)
     wall = time.perf_counter() - t0
-    arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
+    arr = np.asarray(
+            mcmc.get_samples(group_by_chain=True)["r0_scales"], dtype=np.float64
+        )
     ess = min(
         effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
     )
@@ -197,7 +199,9 @@ def bench_4chain_vs_cpu(model, obs, num_warmup=100, num_samples=100):
         t0 = time.perf_counter()
         mcmc.run(jax.random.PRNGKey(seed), obs=obs)
         wall = time.perf_counter() - t0
-        arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
+        arr = np.asarray(
+            mcmc.get_samples(group_by_chain=True)["r0_scales"], dtype=np.float64
+        )
         ess = min(
             effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
         )
@@ -244,7 +248,9 @@ def bench_matched_quality(model, obs, num_warmup=100, num_samples=100):
     """
 
     def _ess_and_mean(mcmc):
-        arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
+        arr = np.asarray(
+            mcmc.get_samples(group_by_chain=True)["r0_scales"], dtype=np.float64
+        )
         ess = min(
             effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
         )
@@ -314,7 +320,9 @@ def bench_matched_quality(model, obs, num_warmup=100, num_samples=100):
         t0 = time.perf_counter()
         mcmc.run(jax.random.PRNGKey(seed), obs=obs)
         wall = time.perf_counter() - t0
-        arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
+        arr = np.asarray(
+            mcmc.get_samples(group_by_chain=True)["r0_scales"], dtype=np.float64
+        )
         flat = arr.reshape(-1, arr.shape[-1])
         chain_means = arr.mean(axis=1)
         se2 = chain_means.var(axis=0, ddof=1) / arr.shape[0]
@@ -391,7 +399,9 @@ def bench_matched_quality_amortized(model, obs, num_samples_cpu=100):
     """
 
     def _ess_mean(mcmc):
-        arr = np.asarray(mcmc.get_samples(group_by_chain=True)["r0_scales"])
+        arr = np.asarray(
+            mcmc.get_samples(group_by_chain=True)["r0_scales"], dtype=np.float64
+        )
         ess = min(
             effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
         )
@@ -449,7 +459,8 @@ def bench_matched_quality_amortized(model, obs, num_samples_cpu=100):
         refit_t.run(jax.random.PRNGKey(seed), obs=obs, warm_start=tpu_ws)
         wall = time.perf_counter() - t0
         arr = np.asarray(
-            refit_t.get_samples(group_by_chain=True)["r0_scales"]
+            refit_t.get_samples(group_by_chain=True)["r0_scales"],
+            dtype=np.float64,
         )
         flat = arr.reshape(-1, arr.shape[-1])
         chain_means = arr.mean(axis=1)
@@ -529,7 +540,9 @@ def bench_svi(model, obs, true_scales, num_starts=1024, num_steps=300):
 
     predictive = Predictive(guide, params=res.params, num_samples=2000)
     samples = predictive(jax.random.PRNGKey(99), obs=obs)
-    post = np.asarray(samples["r0_scales"]).reshape(-1, len(true_scales))
+    post = np.asarray(samples["r0_scales"], dtype=np.float64).reshape(
+        -1, len(true_scales)
+    )
     err = float(np.max(np.abs(post.mean(axis=0) - np.asarray(true_scales))))
     steps_per_sec = num_starts * num_steps / warm_wall
     print(
@@ -569,7 +582,7 @@ def main():
     wall = time.perf_counter() - t0
 
     by_chain = mcmc.get_samples(group_by_chain=True)["r0_scales"]
-    arr = np.asarray(by_chain)  # (chains, draws, 3)
+    arr = np.asarray(by_chain, dtype=np.float64)  # (chains, draws, 3)
     ess = min(
         effective_sample_size(arr[:, :, k]) for k in range(arr.shape[-1])
     )

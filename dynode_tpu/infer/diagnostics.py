@@ -175,7 +175,16 @@ def summary(
             arr = arr.reshape(1, -1)
         plate_shape = arr.shape[2:]
         for idx in np.ndindex(*plate_shape) if plate_shape else [()]:
-            sub = arr[(slice(None), slice(None)) + idx]
+            # f64 accumulation is NOT optional: numpy's strided-axis mean
+            # over millions of NEAR-CONSTANT f32 draws accumulates naively,
+            # and once the partial sum is ~2^23x the addend each add rounds
+            # to a coarse grid -- a 4096x1600 bank's mean came out 1.034
+            # for draws centered at 1.106 (6% systematic bias toward round
+            # numbers; the round-2 "posterior drifting toward the prior"
+            # tunnel-integrity scare reproduced bit-for-bit from this).
+            sub = np.asarray(
+                arr[(slice(None), slice(None)) + idx], dtype=np.float64
+            )
             key = name + ("_" + "_".join(map(str, idx)) if idx else "")
             low, high = hdi(sub, prob)
             out[key] = {

@@ -111,3 +111,33 @@ def test_summary_has_new_columns():
                 "mcse_mean", "r_hat"):
         assert col in row, col
         assert np.isfinite(row[col]), col
+
+
+def test_summary_mean_immune_to_f32_accumulation():
+    """Host-side f64 accumulation regression (round-4 discovery).
+
+    numpy's strided-axis mean over millions of NEAR-CONSTANT float32
+    draws accumulates naively; once the partial sum is ~2^23x the addend
+    every add rounds to a coarse grid and the mean is biased several
+    percent toward round numbers. A real 4096x1600 ChEES bank centered
+    at 1.106 reported an f32 overall mean of 1.035 -- reproducing the
+    round-2 'posterior drifting toward the prior' tunnel-integrity
+    scare, which was THIS artifact, not corruption (per-chain f64 means
+    were all at the posterior). summary() must accumulate in f64.
+    """
+    rng = np.random.default_rng(0)
+    base = np.array([1.1063, 0.9486, 1.0474])
+    arr = (base + rng.normal(0, 0.003, (2048, 1600, 3))).astype(np.float32)
+    # the naive f32 STRIDED-axis mean IS visibly biased at this size
+    # (full contiguous reductions use pairwise summation and stay
+    # accurate -- the hazard is specifically axis-0 means over plated
+    # columns, the exact shape of posterior-mean reporting). If numpy
+    # ever fixes strided accumulation this guard tells us the regression
+    # test lost its teeth.
+    naive = arr.reshape(-1, 3).mean(axis=0)
+    assert np.max(np.abs(naive - base)) > 5e-3
+    stats = summary({"x": arr})
+    for k in range(3):
+        s = stats[f"x_{k}"]
+        assert abs(s["mean"] - base[k]) < 5e-4, (k, s["mean"])
+        assert abs(s["std"] - 0.003) < 2e-4
