@@ -31,6 +31,10 @@ CELLS = [
     (16384, 200, 200),  # past the knee?
     (4096, 200, 400),   # amortize warmup over more draws
     (8192, 200, 400),
+    (4096, 200, 800),   # draws keep scaling: 42.3k ESS/s measured
+    (4096, 200, 1600),  # 50.2k ESS/s; f64-verified stationary (the old
+                        # "drift toward the prior" at wide draws was the
+                        # host f32 strided-mean artifact, see CLAUDE.md)
 ]
 
 
