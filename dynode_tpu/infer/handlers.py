@@ -14,6 +14,8 @@ managers stacked around model execution:
 - ``plate(name, size, dim=...)``: batch of conditionally independent draws
   (the reference's users write ``numpyro.plate`` models -- its utils
   flatten plated samples, /root/reference/src/dynode/utils/utils.py:45-61).
+- ``mask(mask=...)`` / ``scale(scale=...)``: zero out (missing data) or
+  temper enclosed sites' log-density contributions.
 
 Everything here happens at Python trace time; handler overhead never appears
 in the compiled XLA program.
@@ -121,6 +123,62 @@ class block(Messenger):
 
     def __init__(self, hide_fn=None):
         self.hide_fn = hide_fn or (lambda msg: True)
+
+
+class mask(Messenger):
+    """Mask log-density contributions of enclosed sample sites.
+
+    numpyro.handlers.mask parity: where the (boolean, broadcastable)
+    mask is False the site's elementwise log-prob contributes ZERO to
+    the joint -- the standard missing-data idiom for surveillance series
+    with reporting gaps. Sampling draws are unaffected. Nested masks
+    compose with logical AND.
+    """
+
+    def __init__(self, mask):
+        self.mask = mask
+
+    def process_message(self, msg):
+        if msg["type"] == "sample":
+            m = jnp.asarray(self.mask, dtype=bool)
+            prev = msg.get("mask")
+            msg["mask"] = m if prev is None else jnp.logical_and(prev, m)
+
+
+class scale(Messenger):
+    """Scale log-density contributions of enclosed sample sites.
+
+    numpyro.handlers.scale parity: multiplies each enclosed site's
+    log-prob by a positive factor (likelihood tempering, importance
+    reweighting). Nested scales multiply.
+    """
+
+    def __init__(self, scale):
+        self.scale = scale
+
+    def process_message(self, msg):
+        if msg["type"] == "sample":
+            msg["scale"] = msg.get("scale", 1.0) * self.scale
+
+
+def weighted_log_prob(site, center=None):
+    """A sample site's elementwise log-prob with mask/scale applied.
+
+    ``center`` (optional per-element constants, see
+    :func:`~dynode_tpu.infer.util.log_density`) is subtracted before
+    weighting; since mask and scale are fixed for a given model, the
+    shift stays a constant of the density either way.
+    """
+    lp = site["fn"].log_prob(site["value"])
+    if center is not None:
+        lp = lp - center
+    m = site.get("mask")
+    if m is not None:
+        lp = jnp.where(m, lp, jnp.zeros((), dtype=lp.dtype))
+    s = site.get("scale")
+    if s is not None:
+        lp = lp * s
+    return lp
 
 
 class plate(Messenger):
@@ -318,6 +376,9 @@ __all__ = [
     "condition",
     "block",
     "plate",
+    "mask",
+    "scale",
+    "weighted_log_prob",
     "sample",
     "factor",
     "deterministic",

@@ -122,7 +122,7 @@ def log_likelihood(
                 handlers.substitute(draw):
             model(*args, **kwargs)
         return {
-            name: site["fn"].log_prob(site["value"])
+            name: handlers.weighted_log_prob(site)
             for name, site in tr.items()
             if site["type"] == "sample" and site["is_observed"]
         }

@@ -97,7 +97,9 @@ class Trace_ELBO:
             latent_values = {}
             for name, site in guide_tr.items():
                 if site["type"] == "sample" and not site["is_observed"]:
-                    log_q = log_q + jnp.sum(site["fn"].log_prob(site["value"]))
+                    log_q = log_q + jnp.sum(
+                        handlers.weighted_log_prob(site)
+                    )
                     latent_values[name] = site["value"]
             log_p, _ = log_density(model, args, kwargs, latent_values)
             return log_q - log_p  # negative ELBO

@@ -75,9 +75,10 @@ def log_density(
     log_joint = jnp.zeros((), dtype=jnp.result_type(float))
     for name, site in tr.items():
         if site["type"] == "sample" and isinstance(site["fn"], Distribution):
-            lp = site["fn"].log_prob(site["value"])
-            if centers is not None and name in centers:
-                lp = lp - centers[name]
+            lp = handlers.weighted_log_prob(
+                site,
+                center=centers.get(name) if centers is not None else None,
+            )
             log_joint = log_joint + jnp.sum(lp)
     return log_joint, tr
 
