@@ -23,6 +23,7 @@ from .chees import ChEES
 from .mcmc import MCMC, NUTS
 from .forecast import member_quantiles, resample_draws
 from .predictive import Predictive, log_likelihood
+from .reparam import LocScaleReparam, TransformReparam
 from .sample import (
     resolve_deterministic,
     sample_distributions,
@@ -71,6 +72,8 @@ __all__ = [
     "param",
     "plate",
     "factor",
+    "LocScaleReparam",
+    "TransformReparam",
     "sample_then_resolve",
     "resolve_deterministic",
     "sample_distributions",

@@ -125,6 +125,34 @@ class block(Messenger):
         self.hide_fn = hide_fn or (lambda msg: True)
 
 
+class reparam(Messenger):
+    """Rewrite sample sites through reparameterization strategies.
+
+    ``config`` maps site names to strategies (see
+    :mod:`dynode_tpu.infer.reparam`): the strategy draws auxiliary
+    site(s) -- e.g. ``{name}_decentered`` -- and the original site
+    becomes a zero-density Delta at the deterministically recomputed
+    value, so inference runs in the auxiliary geometry (non-centered
+    hierarchical models, base-space sampling of transformed priors).
+    The auxiliary sites inherit enclosing plates/substitutions because
+    they are ordinary :func:`sample` calls.
+    """
+
+    def __init__(self, config: Dict[str, Any]):
+        self.config = dict(config)
+
+    def process_message(self, msg):
+        if msg["type"] != "sample" or msg["is_observed"]:
+            return
+        strategy = self.config.get(msg["name"])
+        if strategy is None or msg.get("_reparam_done"):
+            return
+        new_fn, value = strategy(msg["name"], msg["fn"])
+        msg["fn"] = new_fn
+        msg["value"] = value
+        msg["_reparam_done"] = True
+
+
 class mask(Messenger):
     """Mask log-density contributions of enclosed sample sites.
 
@@ -378,6 +406,7 @@ __all__ = [
     "plate",
     "mask",
     "scale",
+    "reparam",
     "weighted_log_prob",
     "sample",
     "factor",

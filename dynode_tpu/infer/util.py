@@ -31,14 +31,22 @@ def get_model_trace(model, rng_key, *args, substitutions=None, **kwargs):
 
 
 def latent_sites(tr) -> Dict[str, Dict[str, Any]]:
-    """Sample sites that are unobserved, real latents (not placeholders)."""
+    """Sample sites that are unobserved, real latents (not placeholders).
+
+    Point-mass (``Delta``) sites are excluded: a reparameterized site
+    (handlers.reparam) is a Delta at a value recomputed from its
+    auxiliary latent, and a literal Delta latent is a constant -- neither
+    has anything for a sampler or guide to do.
+    """
+    from ..dist.distribution import Delta
+
     return {
         name: site
         for name, site in tr.items()
         if site["type"] == "sample"
         and not site["is_observed"]
         and isinstance(site["fn"], Distribution)
-        and not isinstance(site["fn"], PlaceholderSample)
+        and not isinstance(site["fn"], (PlaceholderSample, Delta))
     }
 
 
