@@ -26,6 +26,10 @@ from .continuous import (
     Uniform,
 )
 from .discrete import (
+    BetaBinomial,
+    ZeroInflatedDistribution,
+    ZeroInflatedNegativeBinomial,
+    ZeroInflatedPoisson,
     Bernoulli,
     Binomial,
     Categorical,
@@ -80,6 +84,10 @@ __all__ = [
     "StickBreakingTransform",
     "Binomial",
     "NegativeBinomial",
+    "BetaBinomial",
+    "ZeroInflatedDistribution",
+    "ZeroInflatedPoisson",
+    "ZeroInflatedNegativeBinomial",
     "Transform",
     "IdentityTransform",
     "AffineTransform",

@@ -241,3 +241,108 @@ __all__ = [
     "Categorical",
     "Multinomial",
 ]
+
+
+class BetaBinomial(Distribution):
+    """``total_count`` trials with ``p ~ Beta(c1, c0)``: overdispersed
+    binomial counts (test-positivity panels, severity fractions).
+
+    mean = n*c1/(c1+c0); variance exceeds the binomial's by the factor
+    (c1+c0+n)/(c1+c0+1).
+    """
+
+    def __init__(self, concentration1, concentration0, total_count):
+        self.concentration1 = concentration1
+        self.concentration0 = concentration0
+        self.total_count = total_count
+        self._batch_shape = self._broadcast_batch_shape(
+            concentration1, concentration0, total_count
+        )
+        self.support = C.IntegerInterval(0, None)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        k_beta, k_binom = jax.random.split(key)
+        p = jax.random.beta(
+            k_beta, _f(self.concentration1), _f(self.concentration0), shape
+        )
+        return jax.random.binomial(
+            k_binom, _f(self.total_count), p, shape
+        ).astype(jnp.int32)
+
+    def log_prob(self, value):
+        a, b = _f(self.concentration1), _f(self.concentration0)
+        n, k = _f(self.total_count), _f(value)
+
+        def betaln(x, y):
+            return jsp.gammaln(x) + jsp.gammaln(y) - jsp.gammaln(x + y)
+
+        log_comb = (
+            jsp.gammaln(n + 1.0)
+            - jsp.gammaln(k + 1.0)
+            - jsp.gammaln(n - k + 1.0)
+        )
+        return log_comb + betaln(k + a, n - k + b) - betaln(a, b)
+
+    @property
+    def mean(self):
+        a, b = _f(self.concentration1), _f(self.concentration0)
+        return _f(self.total_count) * a / (a + b)
+
+    @property
+    def variance(self):
+        a, b = _f(self.concentration1), _f(self.concentration0)
+        n = _f(self.total_count)
+        s = a + b
+        return n * a * b * (s + n) / (s * s * (s + 1.0))
+
+
+class ZeroInflatedDistribution(Distribution):
+    """Mix a point mass at zero (probability ``gate``) into a count model.
+
+    Surveillance series with reporting dropouts: P(0) = gate +
+    (1-gate) * base.P(0); elsewhere (1-gate) * base.P(k).
+    """
+
+    def __init__(self, base_dist, *, gate):
+        self.base_dist = base_dist
+        self.gate = gate
+        self._batch_shape = jnp.broadcast_shapes(
+            base_dist.batch_shape, jnp.shape(gate)
+        )
+        self.support = base_dist.support
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        k_gate, k_base = jax.random.split(key)
+        dropped = jax.random.bernoulli(
+            k_gate, jnp.broadcast_to(_f(self.gate), shape)
+        )
+        draws = jnp.broadcast_to(self.base_dist.sample(k_base, sample_shape), shape)
+        return jnp.where(dropped, jnp.zeros_like(draws), draws)
+
+    def log_prob(self, value):
+        gate = _f(self.gate)
+        log_gate, log1m_gate = jnp.log(gate), jnp.log1p(-gate)
+        lp_base = self.base_dist.log_prob(value)
+        lp_zero = jnp.logaddexp(
+            log_gate,
+            log1m_gate + self.base_dist.log_prob(jnp.zeros_like(_f(value))),
+        )
+        return jnp.where(_f(value) == 0.0, lp_zero, log1m_gate + lp_base)
+
+    @property
+    def mean(self):
+        return (1.0 - _f(self.gate)) * self.base_dist.mean
+
+
+def ZeroInflatedPoisson(gate, rate):
+    """numpyro-parity constructor: ``ZeroInflatedPoisson(gate, rate)``."""
+    return ZeroInflatedDistribution(Poisson(rate), gate=gate)
+
+
+def ZeroInflatedNegativeBinomial(gate, mean, concentration):
+    """Zero-inflated Gamma-Poisson (dropout + overdispersion together)."""
+    return ZeroInflatedDistribution(
+        NegativeBinomial(mean, concentration), gate=gate
+    )

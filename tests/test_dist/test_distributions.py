@@ -190,3 +190,104 @@ def test_nuts_over_dirichlet_site():
     np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
     # conjugate posterior mean: (counts + 1) / (100 + 3)
     np.testing.assert_allclose(p.mean(0), (np.asarray(counts) + 1) / 103, atol=0.02)
+
+
+class TestBetaBinomial:
+    def test_log_prob_matches_scipy(self):
+        from scipy.stats import betabinom
+
+        d = dist.BetaBinomial(2.0, 5.0, 40)
+        ks = np.arange(0, 41)
+        want = betabinom(40, 2.0, 5.0).logpmf(ks)
+        got = np.asarray(d.log_prob(jnp.asarray(ks, dtype=jnp.float32)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_normalized_and_moments(self):
+        d = dist.BetaBinomial(3.0, 4.0, 25)
+        ks = jnp.arange(0, 26, dtype=jnp.float32)
+        p = np.exp(np.asarray(d.log_prob(ks), dtype=np.float64))
+        np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-6)
+        np.testing.assert_allclose((p * np.arange(26)).sum(),
+                                   float(d.mean), rtol=1e-5)
+        var = (p * np.arange(26) ** 2).sum() - float(d.mean) ** 2
+        np.testing.assert_allclose(var, float(d.variance), rtol=1e-4)
+
+    def test_sample_moments(self):
+        d = dist.BetaBinomial(2.0, 5.0, 40)
+        x = np.asarray(
+            d.sample(jax.random.PRNGKey(0), (20000,)), dtype=np.float64
+        )
+        np.testing.assert_allclose(x.mean(), float(d.mean), rtol=0.03)
+        np.testing.assert_allclose(x.var(), float(d.variance), rtol=0.08)
+
+
+class TestZeroInflated:
+    def test_poisson_logpmf_hand_computed(self):
+        gate, rate = 0.3, 4.0
+        d = dist.ZeroInflatedPoisson(gate, rate)
+        from scipy.stats import poisson
+
+        # P(0) = gate + (1-gate) e^{-rate}; P(k>0) = (1-gate) Pois(k)
+        want0 = np.log(gate + (1 - gate) * np.exp(-rate))
+        np.testing.assert_allclose(
+            float(d.log_prob(jnp.asarray(0.0))), want0, rtol=1e-6
+        )
+        for k in (1, 3, 10):
+            want = np.log(1 - gate) + poisson(rate).logpmf(k)
+            np.testing.assert_allclose(
+                float(d.log_prob(jnp.asarray(float(k)))), want, rtol=1e-6
+            )
+
+    def test_normalized(self):
+        d = dist.ZeroInflatedNegativeBinomial(0.25, 6.0, 3.0)
+        ks = jnp.arange(0, 400, dtype=jnp.float32)
+        p = np.exp(np.asarray(d.log_prob(ks), dtype=np.float64))
+        np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
+
+    def test_sample_moments_and_zero_mass(self):
+        gate, rate = 0.4, 5.0
+        d = dist.ZeroInflatedPoisson(gate, rate)
+        x = np.asarray(
+            d.sample(jax.random.PRNGKey(1), (40000,)), dtype=np.float64
+        )
+        np.testing.assert_allclose(x.mean(), (1 - gate) * rate, rtol=0.03)
+        p0_want = gate + (1 - gate) * np.exp(-rate)
+        np.testing.assert_allclose((x == 0).mean(), p0_want, rtol=0.05)
+
+    def test_grad_through_gate_and_rate(self):
+        def nll(params):
+            g, r = params
+            d = dist.ZeroInflatedPoisson(g, r)
+            obs = jnp.asarray([0.0, 0.0, 3.0, 7.0, 0.0, 2.0])
+            return -jnp.sum(d.log_prob(obs))
+
+        g = jax.grad(nll)(jnp.asarray([0.3, 4.0]))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_fit_recovers_gate(self):
+        # a small NUTS fit through the zero-inflated likelihood
+        from dynode_tpu.infer import MCMC, NUTS, handlers
+
+        gate_true, rate_true = 0.35, 6.0
+        obs = dist.ZeroInflatedPoisson(gate_true, rate_true).sample(
+            jax.random.PRNGKey(2), (400,)
+        )
+
+        def model(obs=None):
+            gate = handlers.sample("gate", dist.Beta(2.0, 2.0))
+            rate = handlers.sample("rate", dist.Gamma(2.0, 0.5))
+            handlers.sample(
+                "obs", dist.ZeroInflatedPoisson(gate, rate), obs=obs
+            )
+
+        m = MCMC(NUTS(model), num_warmup=200, num_samples=200, num_chains=4)
+        m.run(jax.random.PRNGKey(0), obs=jnp.asarray(obs, dtype=jnp.float32))
+        s = m.get_samples()
+        np.testing.assert_allclose(
+            np.asarray(s["gate"], dtype=np.float64).mean(), gate_true,
+            atol=0.07,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s["rate"], dtype=np.float64).mean(), rate_true,
+            rtol=0.08,
+        )
