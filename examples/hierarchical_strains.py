@@ -16,6 +16,12 @@ The plated site flows through NUTS/ChEES as a single 3-vector latent
 (chains stay one vmapped bank; no per-strain Python loop), and
 ``flatten_list_parameters`` splits the posterior back into
 ``r0_scale_0..2`` for the reference's reporting idiom.
+
+With this much synthetic data the centered parameterization mixes fine;
+when strains are sparsely observed (small tau posterior), wrap the
+plated site in ``handlers.reparam({"r0_scale": LocScaleReparam()})`` to
+sample the non-centered geometry instead (see docs/inference.md and
+tests/test_infer/test_reparam.py's funnel test).
 """
 
 import _bootstrap
