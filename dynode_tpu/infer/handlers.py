@@ -153,6 +153,61 @@ class reparam(Messenger):
         msg["_reparam_done"] = True
 
 
+class do(Messenger):
+    """Pearl-style intervention on sample sites (numpyro.handlers.do parity).
+
+    ``with do(data={"r0": 2.5}):`` severs the edge from the site ``r0``
+    into its children: every downstream consumer of the site's return
+    value receives the intervention value instead of the stochastic draw,
+    while the original stochastic site is still executed under its own
+    name (sampled / substituted / inferred exactly as without ``do``) so
+    the joint density over latents is unchanged. This is the scenario
+    counterfactual the reference's users run by hand (fit a posterior,
+    then replay forward with a policy-pinned parameter): combine a fitted
+    :class:`~dynode_tpu.infer.predictive.Predictive` with ``do`` to
+    answer "what would incidence have been had r0 been 2.5?".
+
+    Mechanics mirror numpyro's: the intervened message is rewritten to a
+    no-density site named ``{name}__do`` recording the intervention (here
+    a ``deterministic`` site -- numpyro uses an observed stopped sample
+    site; both contribute zero density and land in the trace), and the
+    untouched original message is replayed through the full handler stack.
+    With nested ``do`` handlers intervening on the same site, the
+    innermost wins.
+    """
+
+    def __init__(self, data: Optional[Dict[str, Any]] = None):
+        self.data = dict(data or {})
+
+    def process_message(self, msg):
+        if msg["type"] != "sample" or msg.get("_do_original"):
+            return
+        if msg["name"] not in self.data:
+            return
+        # Replay the undisturbed stochastic node under its original name.
+        # A FRESH message (not a copy of the in-flight, partially-handled
+        # one): inner handlers re-run on it, so shared mutable state
+        # (cond_indep_stack) is rebuilt rather than aliased.
+        orig = {
+            "type": "sample",
+            "name": msg["name"],
+            "fn": msg["fn"],
+            "value": msg["value"] if msg["is_observed"] else None,
+            "is_observed": msg["is_observed"],
+            "rng_key": msg["rng_key"],
+            "sample_shape": msg.get("sample_shape", ()),
+            "_do_original": True,
+        }
+        _apply_stack(orig)
+        # The in-flight message becomes the intervention carrier.
+        msg["type"] = "deterministic"
+        msg["name"] = msg["name"] + "__do"
+        msg["fn"] = None
+        msg["value"] = self.data[orig["name"]]
+        msg["is_observed"] = False
+        msg["rng_key"] = None
+
+
 class mask(Messenger):
     """Mask log-density contributions of enclosed sample sites.
 
@@ -403,6 +458,7 @@ __all__ = [
     "substitute",
     "condition",
     "block",
+    "do",
     "plate",
     "mask",
     "scale",
