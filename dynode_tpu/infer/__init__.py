@@ -18,6 +18,7 @@ from .diagnostics import (
     summary,
 )
 from .idata import InferenceData, from_dynode
+from .model_comparison import ELPDData, compare, loo, psislw, waic
 from .inference import InferenceProcess, MCMCProcess, SVIProcess
 from .chees import ChEES
 from .mcmc import MCMC, NUTS
@@ -107,6 +108,11 @@ __all__ = [
     "log_density",
     "InferenceData",
     "from_dynode",
+    "loo",
+    "waic",
+    "compare",
+    "psislw",
+    "ELPDData",
     "save_pytree",
     "load_pytree",
     "save_mcmc",

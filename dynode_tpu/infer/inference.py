@@ -13,6 +13,7 @@ from jax import Array
 from jax.random import PRNGKey
 from pydantic import BaseModel, ConfigDict, Field, PositiveInt, PrivateAttr
 
+from . import handlers
 from .idata import InferenceData, from_dynode
 from .mcmc import MCMC, NUTS
 from .predictive import Predictive, log_likelihood
@@ -154,7 +155,14 @@ class MCMCProcess(InferenceProcess):
         return samples
 
     def to_arviz(self) -> InferenceData:
-        """Posterior + prior + posterior-predictive as InferenceData."""
+        """Posterior/prior/predictive/log-lik/observed as InferenceData.
+
+        Group parity with the reference's ``az.from_numpyro`` export
+        (reference: src/dynode/infer/inference.py:208-241), which also
+        attaches pointwise ``log_likelihood`` (feeding ``az.loo``/
+        ``az.waic`` — here :func:`~dynode_tpu.infer.loo` /
+        :func:`~dynode_tpu.infer.waic`) and ``observed_data``.
+        """
         self._require_complete()
         assert isinstance(self._inferer, MCMC)
         posterior_predictive = Predictive(
@@ -168,11 +176,25 @@ class MCMCProcess(InferenceProcess):
             rng_key=self.inference_prngkey,
             **self._inferer_kwargs,
         )
+        ll = log_likelihood(
+            self.numpyro_model,
+            self.get_samples(),
+            **self._inferer_kwargs,
+        )
+        with handlers.trace() as tr, handlers.seed(self.inference_prngkey):
+            self.numpyro_model(**self._inferer_kwargs)
+        observed = {
+            name: site["value"]
+            for name, site in tr.items()
+            if site["type"] == "sample" and site["is_observed"]
+        }
         return from_dynode(
             posterior=self.get_samples(group_by_chain=True),
             posterior_predictive=posterior_predictive,
             prior=prior,
             sample_stats=self._inferer.get_extra_fields(group_by_chain=True),
+            log_likelihood=ll,
+            observed_data=observed,
         )
 
 

@@ -98,6 +98,24 @@ def test_mcmc_to_arviz(mcmc_process):
     stats = idata.summary()
     assert stats["mu"]["r_hat"] < 1.05
     assert stats["mu"]["n_eff"] > 50
+    # az.from_numpyro group parity: pointwise log-lik + observed data
+    assert idata.log_likelihood["x"].shape == (400, 128)
+    np.testing.assert_array_equal(idata.observed_data["x"], np.asarray(DATA))
+
+
+def test_mcmc_idata_feeds_loo_and_waic(mcmc_process):
+    """The export chains straight into model comparison (az.loo parity)."""
+    from dynode_tpu.infer import compare, loo, waic
+
+    idata = mcmc_process.to_arviz()
+    r_loo = loo(idata, n_chains=2)
+    r_waic = waic(idata)
+    assert r_loo.n_data_points == 128
+    assert np.all(r_loo.pareto_k < 0.7)
+    # both estimate the same elpd on this well-behaved posterior
+    assert abs(r_loo.elpd - r_waic.elpd) < 1.0
+    table = compare({"m": r_loo})
+    assert table["m"]["rank"] == 0
 
 
 def test_idata_npz_roundtrip(mcmc_process, tmp_path):
