@@ -18,7 +18,14 @@ from .diagnostics import (
     summary,
 )
 from .idata import InferenceData, from_dynode
-from .model_comparison import ELPDData, compare, loo, psislw, waic
+from .model_comparison import (
+    ELPDData,
+    compare,
+    loo,
+    loo_pit,
+    psislw,
+    waic,
+)
 from .inference import InferenceProcess, MCMCProcess, SVIProcess
 from .chees import ChEES
 from .mcmc import MCMC, NUTS
@@ -109,6 +116,7 @@ __all__ = [
     "InferenceData",
     "from_dynode",
     "loo",
+    "loo_pit",
     "waic",
     "compare",
     "psislw",

@@ -26,6 +26,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..dist import Distribution
 
@@ -206,6 +207,37 @@ class do(Messenger):
         msg["value"] = self.data[orig["name"]]
         msg["is_observed"] = False
         msg["rng_key"] = None
+
+
+class uncondition(Messenger):
+    """Make observed sample sites latent again (pyro.poutine.uncondition).
+
+    Inside this handler every ``sample(..., obs=data)`` statement draws a
+    FRESH value from its distribution instead of returning the data --
+    the building block for genuine posterior-predictive replicates
+    (:class:`~dynode_tpu.infer.predictive.Predictive` with
+    ``uncondition_observed=True``): replaying a model with its original
+    observation kwargs still passed would otherwise just echo the data
+    back (an observed site's value IS the data -- numpyro contract).
+    The original observation is kept on the message as
+    ``_observed_value`` for introspection.
+    """
+
+    def process_message(self, msg):
+        if msg["type"] == "sample" and msg["is_observed"]:
+            obs_shape = jnp.shape(msg["value"])
+            fn = msg["fn"]
+            # a likelihood often broadcasts scalar params against the data
+            # (sample("x", Normal(mu, 1), obs=series)); the replicate must
+            # keep the data's layout, so expand the fn to the observed
+            # batch shape before the fresh draw
+            batch_obs = obs_shape[: len(obs_shape) - len(fn.event_shape)]
+            target = np.broadcast_shapes(batch_obs, fn.batch_shape)
+            if tuple(target) != tuple(fn.batch_shape):
+                msg["fn"] = fn.expand(target)
+            msg["_observed_value"] = msg["value"]
+            msg["value"] = None
+            msg["is_observed"] = False
 
 
 class mask(Messenger):
@@ -459,6 +491,7 @@ __all__ = [
     "condition",
     "block",
     "do",
+    "uncondition",
     "plate",
     "mask",
     "scale",

@@ -165,14 +165,23 @@ class MCMCProcess(InferenceProcess):
         """
         self._require_complete()
         assert isinstance(self._inferer, MCMC)
+        # uncondition_observed: resample observed sites so the group holds
+        # genuine replicates usable for PPC/loo_pit. (The reference replays
+        # with the observation kwargs still set, so ITS group echoes the
+        # data back -- an az.from_numpyro quirk, not a useful behavior.)
         posterior_predictive = Predictive(
             self.numpyro_model,
             posterior_samples=self.get_samples(),
+            uncondition_observed=True,
         )(
             rng_key=self.inference_prngkey,
             **self._inferer_kwargs,
         )
-        prior = Predictive(self.numpyro_model, num_samples=self.num_samples)(
+        prior = Predictive(
+            self.numpyro_model,
+            num_samples=self.num_samples,
+            uncondition_observed=True,
+        )(
             rng_key=self.inference_prngkey,
             **self._inferer_kwargs,
         )
@@ -308,15 +317,19 @@ class SVIProcess(InferenceProcess):
         """Prior + posterior-predictive + pointwise log-likelihood."""
         self._require_complete()
         samples = self.get_samples()
+        # resample observed sites (see MCMCProcess.to_arviz note)
         posterior_predictive = Predictive(
             self.numpyro_model,
             posterior_samples=samples,
+            uncondition_observed=True,
         )(
             rng_key=self.inference_prngkey,
             **self._inferer_kwargs,
         )
         prior = Predictive(
-            self.numpyro_model, num_samples=self.num_iterations
+            self.numpyro_model,
+            num_samples=self.num_iterations,
+            uncondition_observed=True,
         )(
             rng_key=self.inference_prngkey,
             **self._inferer_kwargs,

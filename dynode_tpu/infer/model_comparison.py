@@ -283,6 +283,37 @@ def waic(log_lik: LogLikInput) -> ELPDData:
     )
 
 
+def loo_pit(
+    y: np.ndarray,
+    y_rep: np.ndarray,
+    log_lik: LogLikInput,
+    *,
+    reff: float = 1.0,
+) -> np.ndarray:
+    """Leave-one-out probability integral transform (``az.loo_pit``).
+
+    Calibration check: for each observation, the PSIS-weighted fraction
+    of posterior-predictive replicates at or below the observed value,
+    ``pit_i = sum_s w_si 1[y_rep_si <= y_i]``. If the model is
+    calibrated, the pit values are ~Uniform(0, 1); U-shapes mean the
+    predictive is too narrow (overconfident — the Poisson-on-
+    overdispersed-counts failure), humps mean too wide.
+
+    ``y``: observed values, any shape with N total points. ``y_rep``:
+    posterior-predictive draws, ``(draws, *y.shape)`` (e.g. the
+    ``posterior_predictive`` group site). ``log_lik``: matching pointwise
+    log-likelihood (same draws), any :func:`loo` input form. For discrete
+    data the PIT is conservative at ties (uses <=, matching arviz).
+    """
+    ll = _pointwise_matrix(log_lik)
+    yr = np.asarray(y_rep, dtype=np.float64).reshape(ll.shape[0], -1)
+    yo = np.asarray(y, dtype=np.float64).ravel()
+    assert yr.shape == ll.shape, (yr.shape, ll.shape)
+    assert yo.shape[0] == ll.shape[1], (yo.shape, ll.shape)
+    lw, _ = psislw(-ll, reff=reff)
+    return np.sum(np.exp(lw) * (yr <= yo[None, :]), axis=0)
+
+
 def compare(
     models: Dict[str, Union[ELPDData, LogLikInput]],
     *,
@@ -336,4 +367,4 @@ def compare(
     return out
 
 
-__all__ = ["psislw", "loo", "waic", "compare", "ELPDData"]
+__all__ = ["psislw", "loo", "waic", "loo_pit", "compare", "ELPDData"]

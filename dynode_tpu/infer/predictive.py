@@ -12,6 +12,7 @@ model (including its ODE solve) for all draws in parallel, which is exactly
 the ensemble-parallel shape TPUs want.
 """
 
+import contextlib
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -46,6 +47,7 @@ class Predictive:
         return_sites=None,
         exclude_deterministic: bool = True,
         parallel: bool = True,
+        uncondition_observed: bool = False,
     ):
         # positional-model call style: Predictive(guide, params=..., num_samples=...)
         if model is not None and guide is None and params is not None:
@@ -56,6 +58,10 @@ class Predictive:
         self.posterior_samples = posterior_samples
         self.return_sites = return_sites
         self.exclude_deterministic = exclude_deterministic
+        #: resample observed sites instead of echoing their data back
+        #: (numpyro contract is to echo; True gives genuine posterior-
+        #: predictive replicates without re-calling with obs=None)
+        self.uncondition_observed = uncondition_observed
         if posterior_samples is not None:
             sizes = {jnp.shape(v)[0] for v in posterior_samples.values()}
             assert len(sizes) == 1, "posterior sample sites disagree on count"
@@ -88,8 +94,13 @@ class Predictive:
             if self.model is None:
                 # guide-only predictive: return the guide's sites
                 return {k: v for k, v in latents.items()}
+            unc = (
+                handlers.uncondition()
+                if self.uncondition_observed
+                else contextlib.nullcontext()
+            )
             with handlers.trace() as tr, handlers.seed(k_model), \
-                    handlers.substitute(latents):
+                    handlers.substitute(latents), unc:
                 self.model(*args, **kwargs)
             out = _collect_sites(
                 tr, skip_names=set(latents), exclude_deterministic=self.exclude_deterministic

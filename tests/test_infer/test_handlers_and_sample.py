@@ -223,3 +223,53 @@ def test_init_to_value_strategy():
     inits = initialize_latents(tr, jax.random.PRNGKey(1), strat)
     assert float(inits["a"]) == 0.25
     assert float(inits["b"]) > 0.0  # fallback drew something valid
+
+
+def test_uncondition_resamples_observed_sites():
+    """handlers.uncondition (pyro.poutine.uncondition parity): observed
+    sites become fresh draws; the data is kept as _observed_value."""
+    data = jnp.full((5,), 100.0)
+
+    def m():
+        mu = handlers.sample("mu", dist.Normal(0.0, 1.0))
+        handlers.sample("x", dist.Normal(mu, 1.0), obs=data)
+
+    with handlers.trace() as tr, handlers.seed(0), handlers.uncondition():
+        m()
+    assert not tr["x"]["is_observed"]
+    x = np.asarray(tr["x"]["value"])
+    assert x.shape == (5,)
+    assert np.all(np.abs(x) < 50)  # drawn near mu, not the 100s echoed back
+    np.testing.assert_array_equal(
+        np.asarray(tr["x"]["_observed_value"]), np.asarray(data)
+    )
+    # without uncondition the site echoes the data (numpyro contract)
+    with handlers.trace() as tr2, handlers.seed(0):
+        m()
+    assert tr2["x"]["is_observed"]
+    np.testing.assert_array_equal(np.asarray(tr2["x"]["value"]), np.asarray(data))
+
+
+def test_predictive_uncondition_observed_flag():
+    from dynode_tpu.infer import Predictive
+
+    data = jnp.full((4,), 100.0)
+
+    def m(obs=None):
+        mu = handlers.sample("mu", dist.Normal(0.0, 1.0))
+        handlers.sample("x", dist.Normal(mu, 1.0), obs=obs)
+
+    post = {"mu": jnp.zeros((8,))}
+    # default: numpyro contract — observed sites echo the data back
+    echo = Predictive(m, posterior_samples=post)(
+        jax.random.PRNGKey(0), obs=data
+    )
+    assert np.all(np.asarray(echo["x"]) == 100.0)
+    # uncondition_observed: genuine replicates, varying across draws
+    rep = Predictive(m, posterior_samples=post, uncondition_observed=True)(
+        jax.random.PRNGKey(0), obs=data
+    )
+    x = np.asarray(rep["x"])
+    assert x.shape == (8, 4)
+    assert np.all(np.abs(x) < 50)
+    assert np.std(x[:, 0]) > 0.1  # distinct draws per posterior row

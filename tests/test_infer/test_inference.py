@@ -101,6 +101,25 @@ def test_mcmc_to_arviz(mcmc_process):
     # az.from_numpyro group parity: pointwise log-lik + observed data
     assert idata.log_likelihood["x"].shape == (400, 128)
     np.testing.assert_array_equal(idata.observed_data["x"], np.asarray(DATA))
+    # the predictive group holds genuine replicates (resampled observed
+    # sites), not the data echoed back, and they vary across draws
+    ppc = np.asarray(idata.posterior_predictive["x"])
+    assert ppc.shape == (400, 128)
+    assert not np.array_equal(ppc[0], np.asarray(DATA))
+    assert np.std(ppc[:, 0]) > 0.1
+
+
+def test_mcmc_idata_loo_pit_is_calibrated(mcmc_process):
+    """Well-specified model: PSIS-weighted LOO-PIT ~ Uniform(0, 1)."""
+    from dynode_tpu.infer import loo_pit
+
+    idata = mcmc_process.to_arviz()
+    pit = loo_pit(
+        idata.observed_data["x"], idata.posterior_predictive["x"], idata
+    )
+    assert pit.shape == (128,)
+    assert abs(pit.mean() - 0.5) < 0.1
+    assert abs(pit.var() - 1.0 / 12.0) < 0.04
 
 
 def test_mcmc_idata_feeds_loo_and_waic(mcmc_process):

@@ -153,6 +153,36 @@ def test_compare_rejects_mismatched_observation_sets():
         compare({"a": ll, "b": ll[:, :5]})
 
 
+def test_loo_pit_uniform_when_calibrated_u_shaped_when_overconfident():
+    from dynode_tpu.infer import loo_pit
+
+    rng = np.random.default_rng(11)
+    n_obs, s = 400, 2000
+    sigma, tau0 = 1.0, 5.0
+    y = rng.normal(0.7, sigma, size=n_obs)
+    prec = 1.0 / tau0**2 + n_obs / sigma**2
+    m_post = (y.sum() / sigma**2) / prec
+    draws = rng.normal(m_post, np.sqrt(1.0 / prec), size=s)
+    ll = _normal_logpdf(y[None, :], draws[:, None], sigma)
+
+    # calibrated replicates: y_rep ~ N(theta_s, sigma)
+    y_rep = rng.normal(draws[:, None], sigma, size=(s, n_obs))
+    pit = loo_pit(y, y_rep, ll)
+    assert pit.shape == (n_obs,)
+    assert np.all((pit >= 0) & (pit <= 1))
+    # ~Uniform(0,1): mean 1/2, var 1/12, tails populated
+    assert abs(pit.mean() - 0.5) < 0.05
+    assert abs(pit.var() - 1.0 / 12.0) < 0.02
+    assert (pit < 0.1).mean() > 0.04 and (pit > 0.9).mean() > 0.04
+
+    # overconfident replicates (predictive 5x too narrow): mass piles at
+    # the PIT extremes (the U-shape diagnostic)
+    y_rep_narrow = rng.normal(draws[:, None], sigma / 5.0, size=(s, n_obs))
+    pit_narrow = loo_pit(y, y_rep_narrow, ll)
+    extreme = ((pit_narrow < 0.1) | (pit_narrow > 0.9)).mean()
+    assert extreme > 3 * ((pit < 0.1) | (pit > 0.9)).mean()
+
+
 def test_reff_from_chains_autocorrelated_draws():
     # perfectly iid chains -> reff ~ 1; sticky AR(1) chains -> reff << 1
     rng = np.random.default_rng(7)
