@@ -59,6 +59,7 @@ def __getattr__(name):
         "plot_model_overview_subplot_matplotlib",
         "plot_checkpoint_inference_correlation_pairs",
         "plot_mcmc_chains",
+        "plot_posterior_density",
         "plot_prior_distributions",
         "plot_violin_plots",
         "vis_utils",

@@ -424,11 +424,141 @@ def plot_violin_plots(
     return fig
 
 
+def _gaussian_kde_1d(x: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """Silverman-bandwidth Gaussian KDE evaluated on ``grid`` (no scipy)."""
+    n = x.size
+    sd = float(np.std(x, ddof=1)) if n > 1 else 0.0
+    q75, q25 = np.percentile(x, [75.0, 25.0])
+    iqr = float(q75 - q25)
+    scale = min(sd, iqr / 1.349) if iqr > 0 else sd
+    if scale <= 0:  # degenerate sample: a spike at the single value
+        scale = max(abs(float(x[0])), 1.0) * 1e-3
+    bw = 0.9 * scale * n ** (-0.2)
+    z = (grid[:, None] - x[None, :]) / bw
+    return np.exp(-0.5 * z * z).sum(axis=1) / (n * bw * np.sqrt(2 * np.pi))
+
+
+def plot_posterior_density(
+    datas,
+    var_names: Optional[List[str]] = None,
+    data_labels: Optional[List[str]] = None,
+    hdi_prob: float = 0.94,
+    shade: float = 0.2,
+    point_estimate: Optional[str] = "mean",
+    matplotlib_style: Union[List[str], str, None] = None,
+):
+    """Shaded posterior density panels (the ``az.plot_density`` the
+    reference's flagship example draws, examples/sir_infer_parameters.py:
+    141-149 in the reference tree).
+
+    ``datas``: a posterior dict (site -> draws array, chain/draw dims
+    leading), an :class:`~dynode_tpu.infer.InferenceData` (its
+    ``posterior`` group is used), or a list of either — multiple fits
+    overlay per panel (labelled by ``data_labels``, arviz semantics).
+    Scalar sites get one panel; plated sites get one panel per element,
+    titled ``site[i,...]``. Each density is a Gaussian KDE trimmed to the
+    ``hdi_prob`` highest-density interval with a ``shade``-alpha fill and
+    a ``point_estimate`` ("mean"/"median"/None) marker.
+    """
+    from ..infer.diagnostics import hdi as _hdi
+
+    plt = _plt()
+    if not isinstance(datas, (list, tuple)):
+        datas = [datas]
+    dicts: List[Dict[str, np.ndarray]] = []
+    for d in datas:
+        if hasattr(d, "posterior") and not isinstance(d, dict):
+            d = d.posterior
+        if not isinstance(d, dict) or not d:
+            raise VisualizationError(
+                "plot_posterior_density needs posterior sample dicts or "
+                "InferenceData objects with a posterior group"
+            )
+        dicts.append(d)
+    if data_labels is None:
+        data_labels = (
+            [None]
+            if len(dicts) == 1
+            else [f"fit {i}" for i in range(len(dicts))]
+        )
+    if len(data_labels) != len(dicts):
+        raise VisualizationError(
+            f"{len(data_labels)} data_labels for {len(dicts)} datasets"
+        )
+    names = var_names or list(
+        dict.fromkeys(k for d in dicts for k in d)
+    )
+    # one panel per (site, plate element); draws flatten chain x draw
+    panels: List[tuple] = []  # (title, [per-dataset 1-D f64 draws or None])
+    for name in names:
+        shapes = [
+            np.asarray(d[name]).shape[2:] for d in dicts if name in d
+        ]
+        if not shapes:
+            raise VisualizationError(f"site {name!r} in no dataset")
+        plate_shape = shapes[0]
+        for idx in np.ndindex(*plate_shape) if plate_shape else [()]:
+            title = (
+                f"{name}[{','.join(map(str, idx))}]" if idx else name
+            )
+            cols = []
+            for d in dicts:
+                if name not in d:
+                    cols.append(None)
+                    continue
+                # f64 before any reduction: repo-wide host-accumulation rule
+                arr = np.asarray(d[name], dtype=np.float64)
+                if arr.ndim < 2:
+                    arr = arr.reshape(1, -1)
+                cols.append(arr[(slice(None), slice(None)) + idx].ravel())
+            panels.append((title, cols))
+    nrows, ncols = _square_grid(len(panels))
+    style = matplotlib_style or _DEFAULT_STYLE
+    with plt.style.context(style):
+        fig, axes = plt.subplots(
+            nrows, ncols, figsize=(3.2 * ncols, 2.6 * nrows), squeeze=False
+        )
+        flat_axes = axes.flatten()
+        for ax, (title, cols) in zip(flat_axes, panels):
+            for j, draws in enumerate(cols):
+                if draws is None or draws.size == 0:
+                    continue
+                lo, hi = _hdi(draws, prob=hdi_prob)
+                if hi <= lo:
+                    hi = lo + max(abs(lo), 1.0) * 1e-6
+                grid = np.linspace(lo, hi, 256)
+                dens = _gaussian_kde_1d(draws, grid)
+                color = f"C{j % 10}"
+                (line,) = ax.plot(
+                    grid, dens, color=color, label=data_labels[j]
+                )
+                if shade > 0:
+                    ax.fill_between(
+                        grid, dens, color=line.get_color(), alpha=shade
+                    )
+                if point_estimate:
+                    pt = (
+                        float(np.median(draws))
+                        if point_estimate == "median"
+                        else float(np.mean(draws))
+                    )
+                    ax.plot([pt], [0.0], "o", color=line.get_color())
+            ax.set_title(title, fontsize=8)
+            ax.set_yticks([])
+        for ax in flat_axes[len(panels):]:
+            ax.axis("off")
+        if any(lbl for lbl in data_labels):
+            flat_axes[0].legend(fontsize=7)
+        fig.tight_layout()
+    return fig
+
+
 __all__ = [
     "VisualizationError",
     "plot_model_overview_subplot_matplotlib",
     "plot_checkpoint_inference_correlation_pairs",
     "plot_mcmc_chains",
+    "plot_posterior_density",
     "plot_prior_distributions",
     "plot_violin_plots",
 ]

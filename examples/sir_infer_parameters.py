@@ -101,6 +101,19 @@ if __name__ == "__main__":
     print(mcmc_arviz)
     print("posterior summary:", mcmc_arviz.summary())
 
+    # density interval for the R0 posterior (the reference draws this with
+    # az.plot_density at examples/sir_infer_parameters.py:141-149)
+    from dynode_tpu.utils import plot_posterior_density
+
+    fig = plot_posterior_density(
+        [mcmc_arviz],
+        data_labels=["R0"],
+        var_names=["strains_0_r0"],
+        shade=0.2,
+    )
+    fig.suptitle("Density Interval for R0 Posterior Samples (MCMC)")
+    fig.savefig("sir_infer_r0_density.png", dpi=100)
+
     # project forward to a longer horizon with no observations
     tf_proj = 2 * tf_fit
     predictive_mcmc = Predictive(

@@ -223,3 +223,63 @@ def test_lazy_export_via_utils_namespace():
     assert callable(u.plot_mcmc_chains)
     with pytest.raises(AttributeError):
         u.not_a_function
+
+
+class TestPlotPosteriorDensity:
+    def _samples(self, seed=0, loc=2.0):
+        rng = np.random.default_rng(seed)
+        return {
+            "r0": rng.normal(loc, 0.1, size=(4, 200)),
+            "betas": rng.normal(0.0, 1.0, size=(4, 200, 3)),
+        }
+
+    def test_panel_per_plate_element(self):
+        fig = vis_utils.plot_posterior_density(self._samples())
+        titled = [ax for ax in fig.axes if ax.get_title()]
+        assert sorted(ax.get_title() for ax in titled) == [
+            "betas[0]",
+            "betas[1]",
+            "betas[2]",
+            "r0",
+        ]
+
+    def test_density_trimmed_to_hdi_and_marker(self):
+        fig = vis_utils.plot_posterior_density(
+            self._samples(), var_names=["r0"], hdi_prob=0.5
+        )
+        ax = fig.axes[0]
+        # one density line + one point-estimate marker
+        assert len(ax.lines) == 2
+        xs = ax.lines[0].get_xdata()
+        draws = self._samples()["r0"].ravel()
+        # the 50% HDI of a N(2, 0.1) sample is well inside the full range
+        assert xs.min() > draws.min() and xs.max() < draws.max()
+        marker_x = ax.lines[1].get_xdata()[0]
+        assert abs(marker_x - draws.mean()) < 1e-9
+
+    def test_overlay_two_fits_with_labels(self):
+        fig = vis_utils.plot_posterior_density(
+            [self._samples(0, 2.0), self._samples(1, 3.0)],
+            var_names=["r0"],
+            data_labels=["mcmc", "svi"],
+        )
+        ax = fig.axes[0]
+        labels = [ln.get_label() for ln in ax.lines]
+        assert "mcmc" in labels and "svi" in labels
+
+    def test_accepts_inference_data(self):
+        from dynode_tpu.infer import InferenceData
+
+        idata = InferenceData(posterior=self._samples())
+        fig = vis_utils.plot_posterior_density(idata, var_names=["r0"])
+        assert fig.axes[0].get_title() == "r0"
+
+    def test_empty_raises(self):
+        with pytest.raises(VisualizationError):
+            vis_utils.plot_posterior_density({})
+
+    def test_label_count_mismatch_raises(self):
+        with pytest.raises(VisualizationError):
+            vis_utils.plot_posterior_density(
+                self._samples(), data_labels=["a", "b"]
+            )
