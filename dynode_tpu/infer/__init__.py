@@ -47,6 +47,7 @@ from .svi import (
     SVI,
     Adam,
     AutoDelta,
+    chees_warm_start_from_guide,
     AutoGuide,
     AutoMultivariateNormal,
     AutoNormal,
@@ -103,6 +104,7 @@ __all__ = [
     "AutoNormal",
     "AutoMultivariateNormal",
     "AutoDelta",
+    "chees_warm_start_from_guide",
     "Predictive",
     "member_quantiles",
     "resample_draws",

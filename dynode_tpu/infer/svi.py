@@ -459,6 +459,123 @@ class SVI:
         )
 
 
+# ---------------------------------------------------------------------------
+# SVI-initialized MCMC (Pathfinder-style warm starts)
+# ---------------------------------------------------------------------------
+
+
+def chees_warm_start_from_guide(
+    guide: AutoGuide,
+    params: Dict[str, jax.Array],
+    num_chains: int,
+    rng_key: jax.Array,
+    *,
+    step_size: Optional[float] = None,
+    trajectory_length: Optional[float] = None,
+    init_jitter: float = 0.0,
+):
+    """Build an ``MCMC.run(warm_start=)`` value for a ChEES kernel from a
+    fitted autoguide — SVI-initialized MCMC in the Pathfinder spirit
+    (Zhang et al. 2022: cheap variational fit -> posterior-shaped inits +
+    metric for the exact sampler).
+
+    A multi-start SVI bank costs milliseconds on TPU (bench:
+    ``svi_elbo_steps_per_sec``), and its winning guide hands the sampler
+    everything warmup exists to learn: chain positions are drawn from the
+    guide, the (inverse) mass matrix is the guide covariance — so the
+    mass-normalized posterior is ~isotropic and the default trajectory
+    length pi/2 is the Gaussian-optimal quarter period — and the default
+    step size follows the D^(-1/4) optimal-scaling rule. The returned
+    value plugs into ``MCMC(ChEES(model), num_warmup=0, ...).run(...,
+    warm_start=...)``; the run re-anchors potentials/gradients itself, and
+    ChEES transitions are exact MH regardless of these choices, so a poor
+    guide costs efficiency, never correctness. Discard the first few
+    draws as burn-in when the guide fit is uncertain (the chains start
+    guide-distributed, not posterior-distributed), and keep
+    ``consensus_check=`` on for production fits.
+
+    ``params``: the fitted parameter dict (``SVIRunResult.params`` /
+    ``SVIMultiStartResult.params``). ``init_jitter``: extra N(0, jitter)
+    noise on the unconstrained draws (required for :class:`AutoDelta`,
+    whose point guide otherwise starts every chain identically).
+    """
+    from .chees import ChEESBankState
+
+    if not guide._ready:
+        raise ValueError(
+            "guide has no latent structure yet: fit it first (SVI.run / "
+            "run_multistart traces it)"
+        )
+    loc = jnp.asarray(params[f"{guide.prefix}_loc"])
+    dtype = loc.dtype
+    d = loc.shape[0]
+    k_draw, k_jit, k_state = jax.random.split(rng_key, 3)
+    eps_n = jax.random.normal(k_draw, (num_chains, d), dtype)
+    if isinstance(guide, AutoMultivariateNormal):
+        raw = params[f"{guide.prefix}_scale_tril"]
+        scale_tril = jnp.tril(raw, -1) + jnp.diag(_softplus(jnp.diagonal(raw)))
+        z = loc[None, :] + eps_n @ scale_tril.T
+        inv_mass = scale_tril @ scale_tril.T  # guide covariance, dense
+        chol_inv = scale_tril  # chol(inv_mass): exactly hmc.sample_momentum's
+    elif isinstance(guide, AutoNormal):
+        scale = jnp.exp(jnp.asarray(params[f"{guide.prefix}_log_scale"]))
+        z = loc[None, :] + scale[None, :] * eps_n
+        inv_mass = scale**2  # diag
+        chol_inv = scale
+    elif isinstance(guide, AutoDelta):
+        if init_jitter <= 0.0:
+            raise ValueError(
+                "AutoDelta is a point guide: pass init_jitter > 0 so the "
+                "bank's chains do not all start at the identical MAP point"
+            )
+        z = jnp.broadcast_to(loc[None, :], (num_chains, d))
+        inv_mass = jnp.ones((d,), dtype)  # no covariance information
+        chol_inv = jnp.ones((d,), dtype)
+    else:
+        raise TypeError(
+            f"unsupported guide type {type(guide).__name__}: expected "
+            "AutoMultivariateNormal, AutoNormal, or AutoDelta"
+        )
+    if init_jitter > 0.0:
+        z = z + init_jitter * jax.random.normal(k_jit, z.shape, dtype)
+    # optimal-scaling default in mass-normalized coordinates (the guide
+    # metric whitens the posterior): eps ~ 1.65 D^(-1/4), leapfrog-stable
+    # (< 2) for every D. AutoDelta carries no covariance, so its identity
+    # mass does NOT whiten -- the only scale the caller asserted is
+    # init_jitter, so the default shrinks by it (pass step_size for
+    # anything better).
+    if step_size is not None:
+        eps_val = step_size
+    else:
+        eps_val = min(1.65 * d**-0.25, 1.9)
+        if isinstance(guide, AutoDelta):
+            eps_val *= init_jitter
+    eps = jnp.asarray(eps_val, dtype)
+    traj = jnp.asarray(
+        trajectory_length
+        if trajectory_length is not None
+        else jnp.pi / 2.0,
+        dtype,
+    )
+    traj = jnp.maximum(traj, eps)
+    zerosC = jnp.zeros((num_chains,), dtype)
+    state = ChEESBankState(
+        z=z.astype(dtype),
+        # potential/grad are placeholders: MCMC.run's warm-start path
+        # re-evaluates both under the run's own (centered) potential before
+        # the first transition (infer/mcmc.py::_run_chees)
+        potential=zerosC,
+        grad=jnp.zeros((num_chains, d), dtype),
+        energy=zerosC,
+        accept_prob=zerosC,
+        num_steps=jnp.zeros((num_chains,), jnp.int32),
+        diverging=jnp.zeros((num_chains,), bool),
+        iter_idx=jnp.int32(0),
+        rng_key=k_state,
+    )
+    return state, (inv_mass, chol_inv, eps, traj)
+
+
 __all__ = [
     "SVI",
     "SVIState",
@@ -472,4 +589,5 @@ __all__ = [
     "AutoNormal",
     "AutoMultivariateNormal",
     "AutoDelta",
+    "chees_warm_start_from_guide",
 ]
