@@ -68,3 +68,40 @@ if __name__ == "__main__":
     ip = np.asarray(samples["strains_0_infectious_period"])
     print(f"posterior r0: {r0.mean():.4f} +- {r0.std():.4f} (true 2.0)")
     print(f"posterior infectious_period: {ip.mean():.4f} +- {ip.std():.4f} (true 7.0)")
+
+    # ------------------------------------------------------------------
+    # hand the fitted guide to the exact sampler: SVI-initialized ChEES
+    # (Pathfinder-style). The guide's draws are the chain positions and
+    # its covariance is the mass matrix, so the bank samples with ZERO
+    # warmup transitions -- the one-shot production recipe when a fit
+    # must also be exact (docs/inference.md "SVI-initialized MCMC").
+    # ------------------------------------------------------------------
+    from dynode_tpu.infer import MCMC, ChEES, chees_warm_start_from_guide
+
+    warm = chees_warm_start_from_guide(
+        proc._inferer.guide,
+        res.params,
+        num_chains=256,
+        rng_key=jax.random.PRNGKey(7),
+    )
+    mcmc = MCMC(
+        ChEES(model),
+        num_warmup=0,
+        num_samples=24,
+        num_chains=256,
+        progress_bar=False,
+    )
+    mcmc.run(
+        jax.random.PRNGKey(8),
+        config=get_config(),
+        tf=tf_fit,
+        obs_data=incidence,
+        warm_start=warm,
+    )
+    post = mcmc.get_samples(group_by_chain=True)
+    burn = 4  # guide-distributed starts: discard a short burn-in
+    r0_mc = np.asarray(post["strains_0_r0"], dtype=np.float64)[:, burn:]
+    print(
+        f"SVI-init ChEES (0 warmup): r0 {r0_mc.mean():.4f} +- "
+        f"{r0_mc.std():.4f} (true 2.0)"
+    )
