@@ -97,8 +97,16 @@ class MCMCProcess(InferenceProcess):
     )
     progress_bar: bool = True
 
-    def infer(self, **kwargs) -> MCMC:
-        """Fit with the configured kernel; extra kwargs go to the model."""
+    def infer(self, warm_start=None, **kwargs) -> MCMC:
+        """Fit with the configured kernel; extra kwargs go to the model.
+
+        ``warm_start``: a value from :meth:`warm_start_state` of a previous
+        process (or ``MCMC.warm_start_state()`` /
+        :func:`~dynode_tpu.infer.chees_warm_start_from_guide`) — the
+        chained-inference path the reference keeps ``last_state`` for
+        (reference: src/dynode/infer/inference.py:50-53). Warmup is
+        skipped entirely; ``num_warmup`` is ignored for this run.
+        """
         if self.sampler == "chees":
             from .chees import ChEES
 
@@ -128,12 +136,20 @@ class MCMCProcess(InferenceProcess):
             progress_bar=self.progress_bar,
             **self.mcmc_kwargs,
         )
-        inferer.run(self.inference_prngkey, **kwargs)
+        inferer.run(self.inference_prngkey, warm_start=warm_start, **kwargs)
         self._inference_complete = True
         self._inferer = inferer
         self._inference_state = inferer.last_state
         self._inferer_kwargs = kwargs
         return inferer
+
+    def warm_start_state(self):
+        """Resumable sampler state for a later ``infer(warm_start=...)``
+        (chained inference across processes; see ``MCMC.warm_start_state``
+        and ``infer.state_io`` for the on-disk version)."""
+        self._require_complete()
+        assert isinstance(self._inferer, MCMC)
+        return self._inferer.warm_start_state()
 
     def get_samples(
         self, group_by_chain=False, exclude_deterministic=True

@@ -265,3 +265,37 @@ def test_mcmc_vectorized_chains_differ():
     by_chain = mcmc.get_samples(group_by_chain=True)["mu"]
     # chains explore independently
     assert not np.allclose(by_chain[0], by_chain[1])
+
+
+def test_mcmc_process_chained_inference(mcmc_process):
+    """Process-level warm_start: a second process re-fits with zero warmup
+    from the first's state (the reference keeps last_state exactly for
+    'chained inference of subsequent inferers')."""
+    warm = mcmc_process.warm_start_state()
+    refit = MCMCProcess(
+        numpyro_model=toy_model,
+        num_samples=200,
+        num_warmup=1,  # ignored under warm_start (warmup skipped)
+        num_chains=2,
+        nuts_max_tree_depth=8,
+        progress_bar=False,
+    )
+    refit.infer(warm_start=warm, obs=DATA)
+    a = np.asarray(mcmc_process.get_samples()["mu"], dtype=np.float64)
+    b = np.asarray(refit.get_samples()["mu"], dtype=np.float64)
+    # same posterior, fresh draws
+    assert abs(a.mean() - b.mean()) < 6.0 * a.std() / np.sqrt(len(a) / 10)
+    assert not np.allclose(a, b)
+
+
+def test_mcmc_process_warm_start_requires_infer():
+    proc = MCMCProcess(
+        numpyro_model=toy_model,
+        num_samples=10,
+        num_warmup=10,
+        num_chains=2,
+        nuts_max_tree_depth=5,
+        progress_bar=False,
+    )
+    with pytest.raises(AssertionError, match="call infer"):
+        proc.warm_start_state()
