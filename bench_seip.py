@@ -476,6 +476,28 @@ def main():
                 f"traj/s (compile {compile_s:.0f}s)",
                 file=sys.stderr,
             )
+
+            # width still pays past 32k for the adaptive kernel (+29%
+            # measured 32k -> 65k; blocks run back-to-back at full rate and
+            # the C-only bf16 save buffer stays tiny)
+            wide2 = 2 * KERNEL_WIDE
+
+            def run_adapt_kernel_wide(seed):
+                outs, _ = seip_ensemble_solve_adaptive(
+                    y0, base, draws_n(seed, wide2), duration=DURATION,
+                    rtol=1e-4, atol=1e-3, save=(3,), packed=True,
+                    save_dtype=jnp.bfloat16,
+                )
+                return outs[0]
+
+            best2, compile2 = _time(run_adapt_kernel_wide)
+            results["pallas-adaptive-kernel-max-wide"] = wide2 / best2
+            print(
+                f"[bench_seip] ADAPTIVE pallas kernel at {wide2} "
+                f"(bf16 saves): {wide2 / best2:,.0f} traj/s "
+                f"(compile {compile2:.0f}s)",
+                file=sys.stderr,
+            )
         except Exception as e:
             print(f"[bench_seip] adaptive kernel row failed: {e}",
                   file=sys.stderr)
