@@ -590,6 +590,9 @@ def main():
                 "full4_traj_per_sec": round(full4, 1),
                 "full4_vs_c_only": round(full4 / c_only, 3) if c_only else 0.0,
                 "adaptive_kernel_traj_per_sec": round(adapt_k, 1),
+                "adaptive_kernel_traj_per_sec_wide": round(
+                    results.get("pallas-adaptive-kernel-max-wide", 0.0), 1
+                ),
                 "adaptive_xla_traj_per_sec": round(adapt_x, 1),
                 "adaptive_kernel_vs_xla": (
                     round(adapt_k / adapt_x, 2) if adapt_x else 0.0
