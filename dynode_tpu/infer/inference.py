@@ -47,6 +47,7 @@ class InferenceProcess(BaseModel):
     _inference_state: Optional[Any] = PrivateAttr(default=None)
     # model kwargs from infer(), replayed for Predictive
     _inferer_kwargs: Optional[dict] = PrivateAttr(default_factory=dict)
+    _infer_calls: int = PrivateAttr(default=0)
 
     def infer(self, **kwargs):
         raise NotImplementedError(
@@ -106,6 +107,15 @@ class MCMCProcess(InferenceProcess):
         chained-inference path the reference keeps ``last_state`` for
         (reference: src/dynode/infer/inference.py:50-53). Warmup is
         skipped entirely; ``num_warmup`` is ignored for this run.
+
+        Repeated ``infer()`` calls on one process fold a call counter into
+        ``inference_prngkey`` (first call uses the key untouched — exact
+        reference parity): chained segments must consume FRESH transition
+        randomness, or segment k+1 would replay segment k's momentum /
+        accept / jitter draws and pooled-chain draws would be correlated.
+        When chaining across *separate* process objects instead, give each
+        its own ``inference_prngkey`` — two default-keyed warm segments
+        would otherwise share a transition stream.
         """
         if self.sampler == "chees":
             from .chees import ChEES
@@ -136,7 +146,13 @@ class MCMCProcess(InferenceProcess):
             progress_bar=self.progress_bar,
             **self.mcmc_kwargs,
         )
-        inferer.run(self.inference_prngkey, warm_start=warm_start, **kwargs)
+        key = (
+            self.inference_prngkey
+            if self._infer_calls == 0
+            else jax.random.fold_in(self.inference_prngkey, self._infer_calls)
+        )
+        self._infer_calls += 1
+        inferer.run(key, warm_start=warm_start, **kwargs)
         self._inference_complete = True
         self._inferer = inferer
         self._inference_state = inferer.last_state

@@ -727,6 +727,18 @@ class MCMC:
                     "(inv_mass, chol, step_size, trajectory)). Re-create "
                     "the warm start with the same kernel type."
                 )
+            # loud bank-width check: a mismatched state runs to completion
+            # with wrong-shaped, mislabeled outputs (collected step_size /
+            # consensus_check use self.num_chains)
+            saved_chains = warm_start[0].z.shape[0]
+            if saved_chains != self.num_chains:
+                raise ValueError(
+                    f"warm_start width mismatch: the saved state holds "
+                    f"{saved_chains} chains but this MCMC is configured "
+                    f"with num_chains={self.num_chains}. Use a matching "
+                    "num_chains (or rebuild the warm start, e.g. "
+                    "chees_warm_start_from_guide(..., num_chains=...))."
+                )
         if self.chain_method == "parallel":
             # numpyro's "parallel" = one host process per chain (pmap). The
             # TPU-native equivalent is the mesh-sharded vectorized bank:

@@ -183,6 +183,17 @@ class AutoMultivariateNormal(AutoGuide):
 
     init_scale: float = 0.1
 
+    def _scale_tril_from_params(self, params):
+        """raw param -> the lower-Cholesky factor the guide samples with.
+
+        The single source of truth for the raw->tril mapping: ``__call__``
+        and :func:`chees_warm_start_from_guide` both use it, so a future
+        reparameterization cannot silently diverge between fitting and the
+        SVI->MCMC handoff.
+        """
+        raw = params[f"{self.prefix}_scale_tril"]
+        return jnp.tril(raw, -1) + jnp.diag(_softplus(jnp.diagonal(raw)))
+
     def __call__(self, *args, **kwargs):
         self._setup(*args, **kwargs)
         dtype = self._init_flat.dtype
@@ -191,13 +202,20 @@ class AutoMultivariateNormal(AutoGuide):
             jnp.full((self._dim,), _softplus_inv(jnp.asarray(self.init_scale)), dtype)
         )
         raw = handlers.param(f"{self.prefix}_scale_tril", raw_init)
-        scale_tril = jnp.tril(raw, -1) + jnp.diag(_softplus(jnp.diagonal(raw)))
+        scale_tril = self._scale_tril_from_params(
+            {f"{self.prefix}_scale_tril": raw}
+        )
         z = handlers.sample("_auto_latent", MultivariateNormal(loc, scale_tril))
         return self._emit_sites(z)
 
 
 class AutoNormal(AutoGuide):
     """Mean-field Gaussian posterior in unconstrained space."""
+
+    def _scale_from_params(self, params):
+        """raw param -> per-dim scales (shared by __call__ and the
+        SVI->MCMC handoff; see AutoMultivariateNormal._scale_tril_from_params)."""
+        return jnp.exp(jnp.asarray(params[f"{self.prefix}_log_scale"]))
 
     def __call__(self, *args, **kwargs):
         self._setup(*args, **kwargs)
@@ -207,7 +225,13 @@ class AutoNormal(AutoGuide):
             jnp.full((self._dim,), jnp.log(0.1), dtype=self._init_flat.dtype),
         )
         z = handlers.sample(
-            "_auto_latent", Normal(loc, jnp.exp(log_scale))
+            "_auto_latent",
+            Normal(
+                loc,
+                self._scale_from_params(
+                    {f"{self.prefix}_log_scale": log_scale}
+                ),
+            ),
         )
         return self._emit_sites(z)
 
@@ -512,13 +536,12 @@ def chees_warm_start_from_guide(
     k_draw, k_jit, k_state = jax.random.split(rng_key, 3)
     eps_n = jax.random.normal(k_draw, (num_chains, d), dtype)
     if isinstance(guide, AutoMultivariateNormal):
-        raw = params[f"{guide.prefix}_scale_tril"]
-        scale_tril = jnp.tril(raw, -1) + jnp.diag(_softplus(jnp.diagonal(raw)))
+        scale_tril = guide._scale_tril_from_params(params)
         z = loc[None, :] + eps_n @ scale_tril.T
         inv_mass = scale_tril @ scale_tril.T  # guide covariance, dense
         chol_inv = scale_tril  # chol(inv_mass): exactly hmc.sample_momentum's
     elif isinstance(guide, AutoNormal):
-        scale = jnp.exp(jnp.asarray(params[f"{guide.prefix}_log_scale"]))
+        scale = guide._scale_from_params(params)
         z = loc[None, :] + scale[None, :] * eps_n
         inv_mass = scale**2  # diag
         chol_inv = scale

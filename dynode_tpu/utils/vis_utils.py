@@ -425,7 +425,12 @@ def plot_violin_plots(
 
 
 def _gaussian_kde_1d(x: np.ndarray, grid: np.ndarray) -> np.ndarray:
-    """Silverman-bandwidth Gaussian KDE evaluated on ``grid`` (no scipy)."""
+    """Silverman-bandwidth Gaussian KDE evaluated on ``grid`` (no scipy).
+
+    Accumulates over draw chunks: a dense (grid, draws) matrix at this
+    repo's bank sizes (4096 chains x 1600 draws = 6.5M draws/site) would
+    be ~13 GB f64 -- the chunked sum is the same curve in O(chunk) memory.
+    """
     n = x.size
     sd = float(np.std(x, ddof=1)) if n > 1 else 0.0
     q75, q25 = np.percentile(x, [75.0, 25.0])
@@ -434,8 +439,12 @@ def _gaussian_kde_1d(x: np.ndarray, grid: np.ndarray) -> np.ndarray:
     if scale <= 0:  # degenerate sample: a spike at the single value
         scale = max(abs(float(x[0])), 1.0) * 1e-3
     bw = 0.9 * scale * n ** (-0.2)
-    z = (grid[:, None] - x[None, :]) / bw
-    return np.exp(-0.5 * z * z).sum(axis=1) / (n * bw * np.sqrt(2 * np.pi))
+    dens = np.zeros(grid.shape[0], dtype=np.float64)
+    chunk = 65536
+    for start in range(0, n, chunk):
+        z = (grid[:, None] - x[None, start : start + chunk]) / bw
+        dens += np.exp(-0.5 * z * z).sum(axis=1)
+    return dens / (n * bw * np.sqrt(2 * np.pi))
 
 
 def plot_posterior_density(
@@ -445,20 +454,27 @@ def plot_posterior_density(
     hdi_prob: float = 0.94,
     shade: float = 0.2,
     point_estimate: Optional[str] = "mean",
+    grouped_by_chain: bool = True,
     matplotlib_style: Union[List[str], str, None] = None,
 ):
     """Shaded posterior density panels (the ``az.plot_density`` the
     reference's flagship example draws, examples/sir_infer_parameters.py:
     141-149 in the reference tree).
 
-    ``datas``: a posterior dict (site -> draws array, chain/draw dims
-    leading), an :class:`~dynode_tpu.infer.InferenceData` (its
-    ``posterior`` group is used), or a list of either — multiple fits
-    overlay per panel (labelled by ``data_labels``, arviz semantics).
-    Scalar sites get one panel; plated sites get one panel per element,
-    titled ``site[i,...]``. Each density is a Gaussian KDE trimmed to the
-    ``hdi_prob`` highest-density interval with a ``shade``-alpha fill and
-    a ``point_estimate`` ("mean"/"median"/None) marker.
+    ``datas``: a posterior dict (site -> draws array), an
+    :class:`~dynode_tpu.infer.InferenceData` (its ``posterior`` group is
+    used), or a list of either — multiple fits overlay per panel
+    (labelled by ``data_labels``, arviz semantics). With the default
+    ``grouped_by_chain=True``, site arrays lead with (chains, draws) —
+    the ``get_samples(group_by_chain=True)`` / ``InferenceData`` layout;
+    pass ``grouped_by_chain=False`` for flat ``get_samples()`` output,
+    where axis 0 is the draw axis (otherwise a flat plated site would be
+    silently misread as (chains, draws) and its plate elements blended
+    into one wrong density). Scalar sites get one panel; plated sites one
+    panel per element, titled ``site[i,...]``. Each density is a Gaussian
+    KDE trimmed to the ``hdi_prob`` highest-density interval with a
+    ``shade``-alpha fill and a ``point_estimate`` ("mean"/"median"/None)
+    marker.
     """
     from ..infer.diagnostics import hdi as _hdi
 
@@ -488,11 +504,12 @@ def plot_posterior_density(
     names = var_names or list(
         dict.fromkeys(k for d in dicts for k in d)
     )
-    # one panel per (site, plate element); draws flatten chain x draw
+    lead = 2 if grouped_by_chain else 1  # (chains, draws, *plate) or (draws, *plate)
+    # one panel per (site, plate element); draws flatten the leading dims
     panels: List[tuple] = []  # (title, [per-dataset 1-D f64 draws or None])
     for name in names:
         shapes = [
-            np.asarray(d[name]).shape[2:] for d in dicts if name in d
+            np.asarray(d[name]).shape[lead:] for d in dicts if name in d
         ]
         if not shapes:
             raise VisualizationError(f"site {name!r} in no dataset")
@@ -508,9 +525,9 @@ def plot_posterior_density(
                     continue
                 # f64 before any reduction: repo-wide host-accumulation rule
                 arr = np.asarray(d[name], dtype=np.float64)
-                if arr.ndim < 2:
-                    arr = arr.reshape(1, -1)
-                cols.append(arr[(slice(None), slice(None)) + idx].ravel())
+                if arr.ndim < lead:
+                    arr = arr.reshape((1,) * (lead - arr.ndim) + arr.shape)
+                cols.append(arr[(slice(None),) * lead + idx].ravel())
             panels.append((title, cols))
     nrows, ncols = _square_grid(len(panels))
     style = matplotlib_style or _DEFAULT_STYLE

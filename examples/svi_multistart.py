@@ -78,17 +78,19 @@ if __name__ == "__main__":
     # ------------------------------------------------------------------
     from dynode_tpu.infer import MCMC, ChEES, chees_warm_start_from_guide
 
+    n_chains = 32 if FAST else 256
+    n_draws = 8 if FAST else 24
     warm = chees_warm_start_from_guide(
         proc._inferer.guide,
         res.params,
-        num_chains=256,
+        num_chains=n_chains,
         rng_key=jax.random.PRNGKey(7),
     )
     mcmc = MCMC(
         ChEES(model),
         num_warmup=0,
-        num_samples=24,
-        num_chains=256,
+        num_samples=n_draws,
+        num_chains=n_chains,
         progress_bar=False,
     )
     mcmc.run(
@@ -99,7 +101,7 @@ if __name__ == "__main__":
         warm_start=warm,
     )
     post = mcmc.get_samples(group_by_chain=True)
-    burn = 4  # guide-distributed starts: discard a short burn-in
+    burn = 2 if FAST else 4  # guide-distributed starts: short burn-in
     r0_mc = np.asarray(post["strains_0_r0"], dtype=np.float64)[:, burn:]
     print(
         f"SVI-init ChEES (0 warmup): r0 {r0_mc.mean():.4f} +- "

@@ -299,3 +299,48 @@ def test_mcmc_process_warm_start_requires_infer():
     )
     with pytest.raises(AssertionError, match="call infer"):
         proc.warm_start_state()
+
+
+def test_mcmc_process_chained_segments_use_fresh_randomness():
+    """Same-process chained segments must not replay each other's
+    transition stream: two successive warm re-fits from the SAME saved
+    state and identical configs must produce different draws (the key is
+    folded with a per-call counter after the first infer())."""
+    proc = MCMCProcess(
+        numpyro_model=toy_model,
+        num_samples=50,
+        num_warmup=100,
+        num_chains=2,
+        nuts_max_tree_depth=6,
+        progress_bar=False,
+    )
+    proc.infer(obs=DATA)
+    warm = proc.warm_start_state()
+    proc.infer(warm_start=warm, obs=DATA)
+    seg2 = np.asarray(proc.get_samples()["mu"], dtype=np.float64)
+    proc.infer(warm_start=warm, obs=DATA)  # same start state, call #3
+    seg3 = np.asarray(proc.get_samples()["mu"], dtype=np.float64)
+    assert not np.allclose(seg2, seg3)
+
+
+def test_warm_start_width_mismatch_is_loud():
+    from dynode_tpu.infer import MCMC, NUTS
+
+    m1 = MCMC(
+        NUTS(toy_model, max_tree_depth=5),
+        num_warmup=20,
+        num_samples=10,
+        num_chains=2,
+        progress_bar=False,
+    )
+    m1.run(jax.random.PRNGKey(0), obs=DATA)
+    warm = m1.warm_start_state()
+    m2 = MCMC(
+        NUTS(toy_model, max_tree_depth=5),
+        num_warmup=0,
+        num_samples=10,
+        num_chains=4,
+        progress_bar=False,
+    )
+    with pytest.raises(ValueError, match="width mismatch"):
+        m2.run(jax.random.PRNGKey(1), obs=DATA, warm_start=warm)

@@ -283,3 +283,12 @@ class TestPlotPosteriorDensity:
             vis_utils.plot_posterior_density(
                 self._samples(), data_labels=["a", "b"]
             )
+
+    def test_flat_input_via_grouped_flag(self):
+        rng = np.random.default_rng(0)
+        flat = {"betas": rng.normal(0.0, 1.0, size=(800, 3))}
+        fig = vis_utils.plot_posterior_density(
+            flat, grouped_by_chain=False
+        )
+        titled = sorted(ax.get_title() for ax in fig.axes if ax.get_title())
+        assert titled == ["betas[0]", "betas[1]", "betas[2]"]
