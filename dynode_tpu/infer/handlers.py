@@ -221,6 +221,13 @@ class uncondition(Messenger):
     back (an observed site's value IS the data -- numpyro contract).
     The original observation is kept on the message as
     ``_observed_value`` for introspection.
+
+    Nest INSIDE :class:`seed` (``with seed(...): with uncondition(): ...``
+    or the equivalent single ``with`` clause order): handlers run
+    innermost-first, and seed only keys sites whose value is still unset,
+    so an uncondition stacked *outside* seed clears the value after seed
+    already skipped the site — the sample then fails with a
+    missing-rng_key error.
     """
 
     def process_message(self, msg):
@@ -276,6 +283,23 @@ class scale(Messenger):
             msg["scale"] = msg.get("scale", 1.0) * self.scale
 
 
+def _feasible_value(fn, value):
+    """An always-in-support fill for masked-out entries (numpyro's
+    ``feasible_like`` role): ``biject_to(support)(0)`` lands inside any
+    continuous support; discrete/count supports (where biject_to has no
+    bijector) all admit 0."""
+    try:
+        from ..dist.transforms import biject_to
+
+        t = biject_to(fn.support)
+        return jnp.broadcast_to(
+            t(jnp.zeros((), dtype=jnp.result_type(value, jnp.float32))),
+            jnp.shape(value),
+        ).astype(jnp.result_type(value))
+    except Exception:
+        return jnp.zeros_like(value)
+
+
 def weighted_log_prob(site, center=None):
     """A sample site's elementwise log-prob with mask/scale applied.
 
@@ -283,11 +307,21 @@ def weighted_log_prob(site, center=None):
     :func:`~dynode_tpu.infer.util.log_density`) is subtracted before
     weighting; since mask and scale are fixed for a given model, the
     shift stays a constant of the density either way.
+
+    Masked entries never reach ``log_prob`` (double-where): the value is
+    first replaced with an in-support fill, then the log-prob is zeroed.
+    A single where would leave the FORWARD density finite but poison the
+    GRADIENT when masked entries hold NaN (where's VJP zeroes the
+    cotangent, and 0 * d(log_prob(NaN)) = NaN) -- so NaN-encoded
+    reporting gaps are safe observation placeholders.
     """
-    lp = site["fn"].log_prob(site["value"])
+    value = site["value"]
+    m = site.get("mask")
+    if m is not None:
+        value = jnp.where(m, value, _feasible_value(site["fn"], value))
+    lp = site["fn"].log_prob(value)
     if center is not None:
         lp = lp - center
-    m = site.get("mask")
     if m is not None:
         lp = jnp.where(m, lp, jnp.zeros((), dtype=lp.dtype))
     s = site.get("scale")
@@ -372,20 +406,30 @@ def _expand_for_plates(msg) -> None:
         msg["fn"] = fn.expand(target)
 
 
-def _active_handlers():
-    """Handlers inside the innermost ``block`` (which still sees nothing)."""
+def _active_handlers(msg):
+    """Handlers that see ``msg``, innermost-first.
+
+    Walk outward from the innermost handler; the first ``block`` whose
+    ``hide_fn`` hides this message stops the walk, so everything stacked
+    outside it sees nothing. A block that does NOT hide the message is
+    transparent for it, but handlers beyond it are still subject to any
+    *outer* blocks' own hide_fns (a selective inner block must not
+    disable an outer hide-all block -- that outer block exists precisely
+    so internal sites cannot leak into a user's surrounding trace).
+    """
+    active = []
     for i in range(len(_STACK) - 1, -1, -1):
-        if isinstance(_STACK[i], block):
-            return _STACK[i + 1 :], _STACK[i]
-    return _STACK, None
+        h = _STACK[i]
+        if isinstance(h, block) and h.hide_fn(msg):
+            break
+        active.append(h)
+    return active
 
 
 def _apply_stack(msg: Dict[str, Any]) -> Dict[str, Any]:
-    active, blocker = _active_handlers()
-    if blocker is not None and not blocker.hide_fn(msg):
-        active = _STACK
+    active = _active_handlers(msg)  # innermost-first
     # innermost handlers get the first say (e.g. an inner substitute wins)
-    for handler in reversed(active):
+    for handler in active:
         handler.process_message(msg)
 
     if msg["type"] == "sample":
@@ -396,7 +440,10 @@ def _apply_stack(msg: Dict[str, Any]) -> Dict[str, Any]:
         if msg["rng_key"] is None:
             raise ValueError(
                 f"site {msg['name']!r} needs an rng_key: run the model under "
-                "handlers.seed(...) or pass rng_key= to sample()."
+                "handlers.seed(...) or pass rng_key= to sample(). (If "
+                "handlers.uncondition made this site latent, nest it INSIDE "
+                "handlers.seed -- seed runs innermost-first and skips sites "
+                "whose value is still set.)"
             )
         msg["value"] = msg["fn"].sample(
             msg["rng_key"], msg.get("sample_shape", ())
@@ -404,7 +451,8 @@ def _apply_stack(msg: Dict[str, Any]) -> Dict[str, Any]:
     if msg["type"] == "param" and msg["value"] is None:
         msg["value"] = msg["init_value"]
 
-    for handler in active:
+    # outermost-last for postprocess (trace handlers record finished sites)
+    for handler in reversed(active):
         handler.postprocess_message(msg)
     return msg
 

@@ -106,6 +106,15 @@ def psislw(log_weights: np.ndarray, reff: float = 1.0):
     for i in range(n_obs):
         x = lw[:, i]
         x -= x.max()
+        if x.min() == 0.0:
+            # constant ratios (e.g. a masked observation whose log-lik was
+            # zeroed): plain importance sampling is exact, there is no tail
+            # to smooth -- report k = -inf (benign) instead of the inf that
+            # would trip the "unreliable" warning for a healthy fit
+            ks[i] = -np.inf
+            x -= _logsumexp(x)
+            lw[:, i] = x
+            continue
         if n_tail >= 5 and s - n_tail >= 1:
             xs = np.sort(x)
             cutoff = max(xs[-n_tail - 1], log_tiny)

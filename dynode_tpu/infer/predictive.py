@@ -52,12 +52,23 @@ class Predictive:
         # positional-model call style: Predictive(guide, params=..., num_samples=...)
         if model is not None and guide is None and params is not None:
             guide, model = model, None
+        if guide is not None and posterior_samples is not None:
+            # the guide would silently shadow the posterior rows (draw_latents
+            # prefers it); numpyro rejects the combination too
+            raise ValueError(
+                "Predictive: pass EITHER posterior_samples (MCMC replay) OR "
+                "guide=/params= (variational predictive), not both"
+            )
         self.model = model
         self.guide = guide
         self.params = params or {}
         self.posterior_samples = posterior_samples
         self.return_sites = return_sites
         self.exclude_deterministic = exclude_deterministic
+        #: vmap all draws into one program (the TPU-shaped default) or,
+        #: with parallel=False, run draws sequentially via lax.map --
+        #: same results, O(1 draw) peak memory (numpyro's semantics)
+        self.parallel = parallel
         #: resample observed sites instead of echoing their data back
         #: (numpyro contract is to echo; True gives genuine posterior-
         #: predictive replicates without re-calling with obs=None)
@@ -116,8 +127,14 @@ class Predictive:
             return out
 
         if self.posterior_samples is not None:
-            return jax.vmap(replay)(keys, self.posterior_samples)
-        return jax.vmap(lambda k: replay(k, None))(keys)
+            if self.parallel:
+                return jax.vmap(replay)(keys, self.posterior_samples)
+            return jax.lax.map(
+                lambda kd: replay(*kd), (keys, self.posterior_samples)
+            )
+        if self.parallel:
+            return jax.vmap(lambda k: replay(k, None))(keys)
+        return jax.lax.map(lambda k: replay(k, None), keys)
 
 
 def log_likelihood(
@@ -126,12 +143,36 @@ def log_likelihood(
     *args,
     **kwargs,
 ) -> Dict[str, jax.Array]:
-    """Pointwise log p(obs | draw) for every observed site, vmapped over draws."""
+    """Pointwise log p(obs | draw) for every observed site, vmapped over draws.
+
+    ``posterior_samples`` must cover EVERY stochastic latent: a missing
+    site would silently be drawn from its prior with a constant key
+    (identical across draws), conditioning the whole matrix on one
+    arbitrary prior draw -- garbage elpd/loo rankings with no symptom.
+    Such sites raise instead. (Sites whose value is recomputed
+    deterministically -- reparam'd Deltas -- consume no key and are fine.)
+    """
 
     def single(draw):
         with handlers.trace() as tr, handlers.seed(jax.random.PRNGKey(0)), \
                 handlers.substitute(draw):
             model(*args, **kwargs)
+        fresh = [
+            name
+            for name, site in tr.items()
+            if site["type"] == "sample"
+            and not site["is_observed"]
+            and name not in draw
+            and site.get("rng_key") is not None
+        ]
+        if fresh:
+            raise ValueError(
+                f"log_likelihood: latent site(s) {fresh} are not in "
+                "posterior_samples and were drawn fresh from the prior -- "
+                "the pointwise likelihood would be conditioned on one "
+                "arbitrary draw. Pass posterior values for every latent "
+                "(get_samples() of the fit, unfiltered)."
+            )
         return {
             name: handlers.weighted_log_prob(site)
             for name, site in tr.items()

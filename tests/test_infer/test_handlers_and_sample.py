@@ -273,3 +273,30 @@ def test_predictive_uncondition_observed_flag():
     assert x.shape == (8, 4)
     assert np.all(np.abs(x) < 50)
     assert np.std(x[:, 0]) > 0.1  # distinct draws per posterior row
+
+
+def test_nested_blocks_compose_hide_fns():
+    """A selective inner block must not disable an outer hide-all block:
+    a site the inner block passes through still stops at the outer one."""
+    import dynode_tpu.dist as dist
+    from dynode_tpu.infer import handlers
+
+    import jax
+
+    def inner():
+        with handlers.block(hide_fn=lambda m: m["name"] == "secret"):
+            # hidden from EVERY outer handler incl. seed -> needs its own key
+            handlers.sample(
+                "secret", dist.Normal(0.0, 1.0), rng_key=jax.random.PRNGKey(1)
+            )
+            handlers.sample("visible_inside", dist.Normal(0.0, 1.0))
+
+    with handlers.trace() as outer_tr:
+        with handlers.block():  # hide-all: the log_density-style wrapper
+            with handlers.seed(0), handlers.trace() as mid_tr:
+                inner()
+    # the selective block hid "secret" from mid_tr but passed the other
+    assert "secret" not in mid_tr and "visible_inside" in mid_tr
+    # NOTHING leaks past the outer hide-all block (the old stack walk let
+    # any site the innermost block passed through bypass every outer block)
+    assert outer_tr == {}

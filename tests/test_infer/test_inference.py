@@ -344,3 +344,38 @@ def test_warm_start_width_mismatch_is_loud():
     )
     with pytest.raises(ValueError, match="width mismatch"):
         m2.run(jax.random.PRNGKey(1), obs=DATA, warm_start=warm)
+
+
+def test_predictive_rejects_guide_plus_posterior_samples():
+    from dynode_tpu.infer import AutoNormal, Predictive
+
+    g = AutoNormal(toy_model)
+    with pytest.raises(ValueError, match="not both"):
+        Predictive(
+            toy_model,
+            posterior_samples={"mu": np.zeros(4)},
+            guide=g,
+            params={},
+        )
+
+
+def test_predictive_sequential_matches_vectorized(mcmc_process):
+    from dynode_tpu.infer import Predictive
+
+    samples = mcmc_process.get_samples()
+    kw = dict(posterior_samples=samples, uncondition_observed=True)
+    key = jax.random.PRNGKey(3)
+    vec = Predictive(toy_model, parallel=True, **kw)(key, obs=DATA)
+    seq = Predictive(toy_model, parallel=False, **kw)(key, obs=DATA)
+    np.testing.assert_allclose(
+        np.asarray(vec["x"]), np.asarray(seq["x"]), rtol=1e-6
+    )
+
+
+def test_log_likelihood_missing_latent_is_loud(mcmc_process):
+    from dynode_tpu.infer import log_likelihood
+
+    samples = dict(mcmc_process.get_samples())
+    samples.pop("sigma")  # filtered dict: sigma would be drawn from the prior
+    with pytest.raises(ValueError, match="sigma"):
+        log_likelihood(toy_model, samples, obs=DATA)

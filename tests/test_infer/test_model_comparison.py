@@ -204,3 +204,24 @@ def test_reff_from_chains_autocorrelated_draws():
     # loo still runs under the reduced efficiency (larger tail)
     res = loo(ll_ar, n_chains=4)
     assert np.isfinite(res.elpd)
+
+
+def test_constant_loglik_columns_do_not_warn():
+    """Masked observations zero their log-lik columns; PSIS has no tail to
+    fit there (plain IS is exact) -- pareto_k must be benign (-inf), not
+    the inf that flags a healthy fit unreliable."""
+    rng = np.random.default_rng(0)
+    ll = rng.normal(-1.0, 0.3, size=(400, 6))
+    ll[:, 2] = 0.0  # masked column
+    ll[:, 5] = -3.7  # constant but nonzero (fully-determined obs)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any PSIS warning fails the test
+        res = loo(ll)
+    assert res.pareto_k[2] == -np.inf and res.pareto_k[5] == -np.inf
+    assert np.all(np.isfinite(np.delete(res.pareto_k, [2, 5])))
+    assert not res.warning
+    # the constant column's elpd_i is exactly its constant log-lik
+    assert res.elpd_i[2] == pytest.approx(0.0, abs=1e-12)
+    assert res.elpd_i[5] == pytest.approx(-3.7, abs=1e-9)
