@@ -28,8 +28,24 @@ from pathlib import Path
 DEFAULT_REFERENCE = Path("/root/reference/src/dynode")
 
 #: reference subpackages whose ``__init__.__all__`` defines the user
-#: surface; "" is the top-level ``dynode`` package itself.
+#: surface; "" is the top-level ``dynode`` package itself. Kept as an
+#: explicit expectation and CROSS-CHECKED against a glob of the reference
+#: tree by :func:`discovered_packages` -- a subpackage added to the
+#: reference fails the gate loudly instead of being silently skipped.
 SURFACE_PACKAGES = ("", "config", "infer", "simulation", "typing", "utils")
+
+
+def discovered_packages(reference_root: Path = DEFAULT_REFERENCE) -> tuple:
+    """Glob the reference tree for every package that has an ``__init__.py``.
+
+    Returns the same "" / subdir-name encoding as :data:`SURFACE_PACKAGES`.
+    Only one directory level exists in the reference today; recursing with
+    ``rglob`` keeps a future nested subpackage from hiding.
+    """
+    pkgs = {""} if (reference_root / "__init__.py").exists() else set()
+    for init_py in reference_root.rglob("*/__init__.py"):
+        pkgs.add(str(init_py.parent.relative_to(reference_root)))
+    return tuple(sorted(pkgs))
 
 
 def _parse_all(init_py: Path) -> list[str]:
@@ -53,6 +69,13 @@ def reference_surface(
     reference_root: Path = DEFAULT_REFERENCE,
 ) -> dict[str, list[str]]:
     """Map subpackage path ("" = top level) -> its public ``__all__``."""
+    found = discovered_packages(reference_root)
+    if found and set(found) != set(SURFACE_PACKAGES):
+        raise AssertionError(
+            "reference package layout changed: discovered "
+            f"{sorted(found)} vs expected {sorted(SURFACE_PACKAGES)} -- "
+            "update SURFACE_PACKAGES (and the alias) deliberately"
+        )
     surface: dict[str, list[str]] = {}
     for pkg in SURFACE_PACKAGES:
         init_py = reference_root / pkg / "__init__.py"
@@ -84,6 +107,14 @@ def main() -> int:
     import sys
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+    # A pure host-side name check must not become a TPU-tunnel client (the
+    # axon sitecustomize puts the real chip first; ONE process at a time
+    # owns it -- CLAUDE.md). Force CPU before the alias imports jax, the
+    # same way conftest.py does for pytest.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
