@@ -14,15 +14,31 @@ Measurement discipline (round-4 hardening, VERDICT r3 items 2/6):
   program,
 - cold compile time of the headline program is measured against a pinned
   budget so warm-cache wins cannot mask cold-path regressions,
-- XLA cost-analysis roofline: per headline path the JSON reports achieved
-  GB/s / GFLOP/s and the fraction of v5e peaks, plus what bounds the path,
+- roofline per headline path: XLA cost analysis for the XLA rows; analytic
+  RHS-flop x attempt-count rooflines (VPU utilization estimate + save-DMA
+  GB/s) for the Pallas kernel rows,
 - metrics are compared against the prior round's values (bench_pins.json
   prior_medians): anything below 0.7x is flagged loudly in "regressions".
 
-Prints one JSON line {"metric","value","unit","vs_baseline",...}.
+Artifact robustness (round-5 hardening, VERDICT r4 item 1 -- BENCH_r04 was
+rc=124/parsed=null after the added rows outgrew the driver window):
+- the on-disk XLA executable cache is enabled up front
+  (dynode_tpu.enable_compilation_cache): a code-unchanged rerun skips the
+  multi-minute tunnel compiles,
+- the JSON result line is emitted INCREMENTALLY: after every stage a
+  complete, self-contained line is printed, so whichever line the driver
+  parses (first, last, or post-timeout tail) is a valid record,
+- rows are ordered by evidentiary value and each expensive row is
+  deadline-guarded (DYNODE_BENCH_DEADLINE_S, default 1680s; --extended
+  disables): the bench SKIPS rows loudly rather than dying mid-row,
+- DYNODE_BENCH_SMALL=1 smoke-tests the full control flow on CPU.
+
+Prints JSON lines {"metric","value","unit","vs_baseline",...}; the LAST
+line is the most complete record.
 """
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -61,6 +77,17 @@ KERNEL_WIDE_ENSEMBLE = 163840
 # (probes/probe_save_rows_width.py). 655360 leaves in-bench HBM headroom.
 OBS_WIDE_ENSEMBLE = 655360
 CPU_ENSEMBLE = 256
+
+#: DYNODE_BENCH_SMALL=1: shrink every width so the bench's control flow
+#: (stage ordering, incremental emission, gates, JSON schema) can be
+#: smoke-tested on the CPU fallback in seconds. Numbers are meaningless in
+#: this mode; inference/SEIP/oneshot stages are skipped.
+SMALL = bool(os.environ.get("DYNODE_BENCH_SMALL"))
+if SMALL:
+    ENSEMBLE = 256
+    WIDE_ENSEMBLE = 512
+    KERNEL_WIDE_ENSEMBLE = 512
+    OBS_WIDE_ENSEMBLE = 512
 
 # v5e single-chip peaks (public spec; see probes/probe_seip_roofline.py)
 HBM_PEAK_GBPS = 819.0
@@ -234,11 +261,12 @@ def bench_generic_kernel(
     if rows_sel is not None:
         # equivalence gate: selected rows == the full-rows solve's slice
         # (same solve math; only save staging/dtype differ)
-        scales_s = _draws(n, 0)[:2048]
-        yp_s = y_packed[:, :2048]
+        m = min(2048, n)
+        scales_s = _draws(n, 0)[:m]
+        yp_s = y_packed[:, :m]
         sel = fused(yp_s, scales_s)[:, :len(rows_sel), :].astype(jnp.float32)
         full = ensemble_solve_kernel(
-            rhs, yp_s, pack(2048, scales_s), duration=DURATION, dt=DT,
+            rhs, yp_s, pack(m, scales_s), duration=DURATION, dt=DT,
         )[:, list(rows_sel), :].astype(jnp.float32)
         rel = float(jnp.max(jnp.abs(sel - full)) / jnp.max(jnp.abs(full)))
         assert rel < 1e-2, f"save_rows gate failed: rel {rel:.2e}"
@@ -292,10 +320,16 @@ def bench_generic_adaptive(
     _sync(out)
     bad = int(jnp.asarray(stats["exhausted_intervals"]).sum())
     assert bad == 0, f"adaptive generic kernel exhausted budget in {bad} blocks"
+    attempts = int(
+        (jnp.asarray(stats["n_accepted"]) + jnp.asarray(stats["n_rejected"]))
+        .sum()
+    )
+    n_blocks = int(jnp.asarray(stats["n_accepted"]).shape[0])
     # accuracy gate on a slice (matches probe_generic_adaptive.py)
-    scales = _draws(n, 0)[:2048]
-    yp_s = y_packed[:, :2048]
-    pp_s = pack(2048, scales)
+    m = min(2048, n)
+    scales = _draws(n, 0)[:m]
+    yp_s = y_packed[:, :m]
+    pp_s = pack(m, scales)
     ref = ensemble_solve_kernel(
         rhs, yp_s, pp_s, duration=DURATION, dt=0.05, save_rows=rows_sel,
     )
@@ -307,7 +341,14 @@ def bench_generic_adaptive(
     assert rel < 5e-3, f"adaptive generic accuracy gate failed: {rel}"
     tps = _timed_median(name, lambda s: fused(y_packed, _draws(n, s))[0],
                         n, repeats)
-    return tps, rel
+    info = {
+        "attempts_total": attempts,
+        "n_blocks": n_blocks,
+        "block_b": n // max(n_blocks, 1),
+        "n_save_rows": len(rows_sel) if rows_sel is not None else D,
+        "rows_padded": rows_sel is not None,
+    }
+    return tps, rel, info
 
 
 def bench_lane_major_xla(base, y0, n, repeats=3):
@@ -477,9 +518,107 @@ def bench_cpu_constant(base, y0, n):
         return best
 
 
+#: wall-clock start of the bench process (module import ~= process start)
+T0 = time.perf_counter()
+#: soft deadline: rows are skipped (loudly) once the remaining window
+#: cannot fit them, so the driver's hard timeout can never void the
+#: artifact again (round-4 lesson: BENCH_r04.json rc=124, parsed null).
+DEADLINE_S = float(os.environ.get("DYNODE_BENCH_DEADLINE_S", "1680"))
+EXTENDED = False
+
+# v5e single-chip VPU f32 peak ESTIMATE: 1024 lanes x 4 ALUs x ~0.94 GHz
+# ~= 3.9 TFLOP/s. Unlike the HBM/MXU numbers this is not a published spec;
+# it is used only to express kernel throughput as a fraction of a
+# VPU-bound ceiling (the kernels are elementwise VPU work, not MXU).
+VPU_F32_TFLOPS_EST = 3.9
+
+
+def _elapsed():
+    return time.perf_counter() - T0
+
+
+def _note(msg):
+    print(f"[bench t={_elapsed():5.0f}s] {msg}", file=sys.stderr)
+
+
+def _have(budget_s, label):
+    """True if ``label`` (worst-case ``budget_s``) fits the soft window."""
+    if EXTENDED or _elapsed() + budget_s < DEADLINE_S:
+        return True
+    _note(
+        f"SKIP {label}: needs ~{budget_s:.0f}s, "
+        f"{max(DEADLINE_S - _elapsed(), 0):.0f}s left "
+        "(--extended or DYNODE_BENCH_DEADLINE_S to override)"
+    )
+    return False
+
+
+def _rows_rhs_flops_per_member(rhs, n_rows, n_params):
+    """HLO-counted flops of ONE rows-RHS evaluation per ensemble member.
+
+    Compiled on the local CPU backend (cheap, no tunnel); XLA's flop count
+    is backend-agnostic at this level. Basis for the kernel rooflines:
+    total kernel flops = flops/member/eval x evals x members.
+    """
+    cpu = jax.devices("cpu")[0]
+    bb = 256
+    y = jnp.ones((n_rows, bb), jnp.float32)
+    p = jnp.ones((max(n_params, 1), bb), jnp.float32)
+
+    def f(y, p):
+        rows = rhs(
+            [y[i] for i in range(n_rows)],
+            [p[i] for i in range(n_params)],
+            jnp.float32(0.0),
+        )
+        return jnp.stack(list(rows))
+
+    with jax.default_device(cpu):
+        ca = jax.jit(f).lower(y, p).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)) / bb
+
+
+def _kernel_roofline_const(name, batch, n_evals_per_member, rhs_flops,
+                           save_bytes):
+    """Analytic roofline for a constant-step whole-solve kernel row."""
+    wall = statistics.median(WALLS[name])
+    tflops = rhs_flops * n_evals_per_member * batch / wall / 1e12
+    return {
+        "achieved_tflops": round(tflops, 3),
+        "vpu_utilization_est": round(tflops / VPU_F32_TFLOPS_EST, 4),
+        "save_dma_gbps": round(save_bytes / wall / 1e9, 2),
+        "hbm_utilization_saves": round(
+            save_bytes / wall / 1e9 / HBM_PEAK_GBPS, 4
+        ),
+    }
+
+
+def _emit(result):
+    """Print the CURRENT result as one complete JSON line (incremental).
+
+    Every emission is self-contained and monotonically growing, so
+    whichever line the driver parses (first or last, even after a hard
+    timeout truncates the run) is a valid benchmark record.
+    """
+    out = dict(result)
+    out["elapsed_s"] = round(_elapsed(), 1)
+    out["measurements"] = _measurements_block()
+    print(json.dumps(out), flush=True)
+
+
 def main():
+    global EXTENDED
     remeasure = "--remeasure-baseline" in sys.argv
+    EXTENDED = "--extended" in sys.argv
     pins = _load_pins()
+
+    import dynode_tpu
+
+    cache_dir = dynode_tpu.enable_compilation_cache()
+    _note(f"compilation cache: {cache_dir or 'disabled'}")
+
     cfg, base, y0 = _setup()
 
     backend = jax.default_backend()
@@ -490,508 +629,608 @@ def main():
             file=sys.stderr,
         )
 
-    pallas_tps = bench_pallas(base, y0, ENSEMBLE)
-    print(
-        f"[bench] pallas whole-solve kernel: {pallas_tps:,.0f} traj/s "
-        f"({ENSEMBLE} x {DURATION:.0f}d, dt={DT})",
-        file=sys.stderr,
-    )
-    lane_tps = 0.0
-    try:
-        lane_tps = bench_lane_major_xla(base, y0, ENSEMBLE)
-        print(
-            f"[bench] lane-major XLA direct-save: {lane_tps:,.0f} traj/s",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] lane-major XLA path failed: {e}", file=sys.stderr)
-    lead_tps = 0.0
-    try:
-        lead_tps, _, _ = bench_batch_leading_xla(base, y0, ENSEMBLE)
-        print(
-            f"[bench] batch-leading jit(vmap):  {lead_tps:,.0f} traj/s",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] batch-leading XLA path failed: {e}", file=sys.stderr)
-    tps = max(pallas_tps, lane_tps, lead_tps)
-
-    wide_tps = 0.0
-    cold_compile_s = 0.0
-    wide_roof = {}
-    try:
-        wide_tps, cold_compile_s, wide_roof = bench_batch_leading_xla(
-            base, y0, WIDE_ENSEMBLE, name="batch_leading_wide"
-        )
-        print(
-            f"[bench] batch-leading at saturating width "
-            f"({WIDE_ENSEMBLE}): {wide_tps:,.0f} traj/s "
-            f"(cold compile {cold_compile_s:.1f}s; roofline {wide_roof})",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] wide-ensemble path failed: {e}", file=sys.stderr)
-
-    pallas_wide_tps = 0.0
-    try:
-        pallas_wide_tps = bench_pallas(
-            base, y0, WIDE_ENSEMBLE, name="pallas_multistrain_wide"
-        )
-        print(
-            f"[bench] pallas kernel at XLA-comparable width "
-            f"({WIDE_ENSEMBLE}, auto block_b): {pallas_wide_tps:,.0f} "
-            "traj/s",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] wide pallas path failed: {e}", file=sys.stderr)
-    pallas_max_tps = 0.0
-    try:
-        pallas_max_tps = bench_pallas(
-            base, y0, KERNEL_WIDE_ENSEMBLE, name="pallas_multistrain_max"
-        )
-        print(
-            f"[bench] pallas kernel at kernel-saturating width "
-            f"({KERNEL_WIDE_ENSEMBLE}): {pallas_max_tps:,.0f} traj/s",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] kernel-saturating pallas path failed: {e}",
-              file=sys.stderr)
-    generic_tps = 0.0
-    try:
-        generic_tps = bench_generic_kernel(
-            base, y0, KERNEL_WIDE_ENSEMBLE, name="generic_kernel_max"
-        )
-        print(
-            f"[bench] generic rows-RHS kernel, fused pack+solve "
-            f"({KERNEL_WIDE_ENSEMBLE}): {generic_tps:,.0f} traj/s",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] generic kernel path failed: {e}", file=sys.stderr)
-    generic_obs_tps = 0.0
-    try:
-        generic_obs_tps = bench_generic_kernel(
-            base, y0, OBS_WIDE_ENSEMBLE, name="generic_kernel_obs_max",
-            save_rows="c", save_dtype=jnp.bfloat16,
-        )
-        print(
-            f"[bench] generic kernel, observable-only bf16 saves "
-            f"(save_rows=c, {OBS_WIDE_ENSEMBLE}): {generic_obs_tps:,.0f} "
-            "traj/s",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] generic obs-save kernel path failed: {e}",
-              file=sys.stderr)
-    tps_best = max(tps, wide_tps, pallas_wide_tps, pallas_max_tps,
-                   generic_tps, generic_obs_tps)
-
-    xla_tps = 0.0
-    try:
-        xla_tps = bench_xla_adaptive(cfg, base, y0, ENSEMBLE)
-        print(
-            f"[bench] xla adaptive per-member vmap: {xla_tps:,.0f} traj/s",
-            file=sys.stderr,
-        )
-    except Exception as e:  # secondary measurement must not kill the bench
-        print(f"[bench] xla adaptive path failed: {e}", file=sys.stderr)
-    lane_adapt_tps = 0.0
-    try:
-        lane_adapt_tps = bench_lane_adaptive(cfg, base, y0, WIDE_ENSEMBLE)
-        print(
-            f"[bench] adaptive lane-major (shared dt chain, "
-            f"{WIDE_ENSEMBLE}): {lane_adapt_tps:,.0f} traj/s",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] adaptive lane-major path failed: {e}", file=sys.stderr)
-    gen_adapt_tps = 0.0
-    gen_adapt_rel = 0.0
-    try:
-        gen_adapt_tps, gen_adapt_rel = bench_generic_adaptive(
-            base, y0, KERNEL_WIDE_ENSEMBLE
-        )
-        print(
-            f"[bench] generic ADAPTIVE kernel (lockstep BS3, rtol=1e-4, "
-            f"bf16 saves, {KERNEL_WIDE_ENSEMBLE}): {gen_adapt_tps:,.0f} "
-            f"traj/s (gate rel {gen_adapt_rel:.2e} vs const dt=0.05)",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] generic adaptive path failed: {e}", file=sys.stderr)
-    gen_adapt_obs_tps = 0.0
-    try:
-        gen_adapt_obs_tps, obs_rel = bench_generic_adaptive(
-            base, y0, OBS_WIDE_ENSEMBLE, name="generic_adaptive_obs_max",
-            save_rows="c",
-        )
-        print(
-            f"[bench] generic ADAPTIVE kernel, observable-only bf16 saves "
-            f"(save_rows=c, {OBS_WIDE_ENSEMBLE}): {gen_adapt_obs_tps:,.0f} "
-            f"traj/s (gate rel {obs_rel:.2e})",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] generic adaptive obs-save path failed: {e}",
-              file=sys.stderr)
-    adaptive_tps = max(xla_tps, lane_adapt_tps, gen_adapt_tps,
-                       gen_adapt_obs_tps)
-
-    # ---- CPU baseline: pinned constant (re-measure only on demand) -------
+    # pinned CPU baseline up front (denominators for every emission)
     cpu_const_tps = float(pins.get("cpu_constant_tps_256", 0.0))
     cpu_adapt_tps = float(pins.get("cpu_adaptive_tps_256", 0.0))
     baseline_source = "pinned" if cpu_const_tps else "missing"
-    if remeasure or not cpu_const_tps:
+
+    result = {
+        "metric": "multistrain_seirs_trajectories_per_sec",
+        "value": 0.0,
+        "unit": "traj/s",
+        "vs_baseline": 0.0,
+        "baseline_source": baseline_source,
+        "roofline": {},
+    }
+    cand_const = {}   # name -> (tps, width)
+    cand_adapt = {}   # name -> tps
+
+    def _refresh():
+        if cand_const:
+            best = max(cand_const, key=lambda k: cand_const[k][0])
+            tps_best, width = cand_const[best]
+            result["value"] = result["traj_per_sec"] = round(tps_best, 1)
+            result["ensemble_width"] = width
+            result["best_path"] = best
+            if cpu_const_tps:
+                result["vs_baseline"] = round(tps_best / cpu_const_tps, 2)
+        if cand_adapt:
+            adapt_best = max(cand_adapt.values())
+            result["traj_per_sec_adaptive"] = round(adapt_best, 1)
+            if cpu_adapt_tps:
+                result["vs_baseline_adaptive_same_program"] = round(
+                    adapt_best / cpu_adapt_tps, 2
+                )
+
+    # ---- stage 1: core 10k rows (always) --------------------------------
+    pallas_tps = bench_pallas(base, y0, ENSEMBLE)
+    cand_const["pallas_multistrain"] = (pallas_tps, ENSEMBLE)
+    _note(
+        f"pallas whole-solve kernel: {pallas_tps:,.0f} traj/s "
+        f"({ENSEMBLE} x {DURATION:.0f}d, dt={DT})"
+    )
+    try:
+        lead_tps, cold_compile_s, lead_roof = bench_batch_leading_xla(
+            base, y0, ENSEMBLE
+        )
+        cand_const["batch_leading"] = (lead_tps, ENSEMBLE)
+        result["value_at_10k"] = round(max(pallas_tps, lead_tps), 1)
+        result["cold_compile_s"] = round(cold_compile_s, 1)
+        _note(
+            f"batch-leading jit(vmap): {lead_tps:,.0f} traj/s "
+            f"(cold compile {cold_compile_s:.1f}s)"
+        )
+    except Exception as e:
+        print(f"[bench] batch-leading XLA path failed: {e}", file=sys.stderr)
+    _refresh()
+    _emit(result)
+
+    # ---- stage 2: max-width observable-saves kernel rows (headline) -----
+    import dynode_tpu.ops.multistrain_pallas as _mp
+
+    rhs_flops = 0.0
+    try:
+        contact = tuple(
+            tuple(float(v) for v in row)
+            for row in jnp.asarray(base.contact_matrix).tolist()
+        )
+        K = _mp.K_DIM
+
+        def _rhs(y, p, t):
+            return _mp._rhs_rows(
+                y, contact, p[:K], p[K:2 * K], p[2 * K:3 * K],
+                p[3 * K:4 * K], _mp.A_DIM, K,
+            )
+
+        rhs_flops = _rows_rhs_flops_per_member(
+            _rhs, _mp._d_rows(_mp.A_DIM, K), 4 * K
+        )
+        _note(f"multistrain rows-RHS: {rhs_flops:.0f} flops/member/eval")
+    except Exception as e:
+        print(f"[bench] rhs flop count failed: {e}", file=sys.stderr)
+
+    n_steps = int(round(DURATION / DT))
+    n_saves = n_steps + 1  # daily saves, t=0 included
+    if _have(300, "generic_kernel_obs_max"):
+        try:
+            generic_obs_tps = bench_generic_kernel(
+                base, y0, OBS_WIDE_ENSEMBLE, name="generic_kernel_obs_max",
+                save_rows="c", save_dtype=jnp.bfloat16,
+            )
+            cand_const["generic_kernel_obs_max"] = (
+                generic_obs_tps, OBS_WIDE_ENSEMBLE
+            )
+            result["traj_per_sec_generic_kernel_obs_saves"] = round(
+                generic_obs_tps, 1
+            )
+            if rhs_flops:
+                result["roofline"]["generic_kernel_obs_max"] = {
+                    **_kernel_roofline_const(
+                        "generic_kernel_obs_max", OBS_WIDE_ENSEMBLE,
+                        6 * n_steps, rhs_flops,
+                        n_saves * 8 * OBS_WIDE_ENSEMBLE * 2,  # bf16, 8 pad rows
+                    ),
+                    "bound_by": "VPU: state resident in VMEM, HBM = the "
+                    "8-row bf16 save grid only; see ops doc",
+                }
+            _note(
+                f"generic kernel, observable-only bf16 saves "
+                f"(save_rows=c, {OBS_WIDE_ENSEMBLE}): "
+                f"{generic_obs_tps:,.0f} traj/s "
+                f"(roofline {result['roofline'].get('generic_kernel_obs_max')})"
+            )
+        except Exception as e:
+            print(f"[bench] generic obs-save kernel path failed: {e}",
+                  file=sys.stderr)
+        _refresh()
+        _emit(result)
+
+    if _have(300, "generic_adaptive_obs_max"):
+        try:
+            gen_adapt_obs_tps, obs_rel, obs_info = bench_generic_adaptive(
+                base, y0, OBS_WIDE_ENSEMBLE, name="generic_adaptive_obs_max",
+                save_rows="c",
+            )
+            cand_adapt["generic_adaptive_obs_max"] = gen_adapt_obs_tps
+            result["traj_per_sec_generic_adaptive_obs_saves"] = round(
+                gen_adapt_obs_tps, 1
+            )
+            result["generic_adaptive_gate_rel_err"] = round(obs_rel, 6)
+            if rhs_flops and obs_info["attempts_total"]:
+                wall = statistics.median(WALLS["generic_adaptive_obs_max"])
+                # 4 RHS evals per BS3 attempt, dt lockstep per lane block
+                tflops = (
+                    obs_info["attempts_total"] * 4 * rhs_flops
+                    * obs_info["block_b"] / wall / 1e12
+                )
+                result["roofline"]["generic_adaptive_obs_max"] = {
+                    "achieved_tflops": round(tflops, 3),
+                    "vpu_utilization_est": round(
+                        tflops / VPU_F32_TFLOPS_EST, 4
+                    ),
+                    "save_dma_gbps": round(
+                        n_saves * 8 * OBS_WIDE_ENSEMBLE * 2 / wall / 1e9, 2
+                    ),
+                    "bound_by": "VPU: ~1 accepted lockstep BS3 step/day "
+                    "(4 evals + block-max norm each), error-controlled",
+                }
+            _note(
+                f"generic ADAPTIVE kernel, obs-only bf16 saves "
+                f"(save_rows=c, {OBS_WIDE_ENSEMBLE}): "
+                f"{gen_adapt_obs_tps:,.0f} traj/s (gate rel {obs_rel:.2e}; "
+                f"roofline {result['roofline'].get('generic_adaptive_obs_max')})"
+            )
+        except Exception as e:
+            print(f"[bench] generic adaptive obs-save path failed: {e}",
+                  file=sys.stderr)
+        _refresh()
+        _emit(result)
+
+    # ---- stage 3: inference rows (ESS/s + matched quality) --------------
+    nuts_model = None
+    if not SMALL and _have(420, "ess_per_sec (ChEES) + matched quality"):
+        try:
+            import numpy as np
+
+            import bench_nuts
+
+            nuts_model, obs, true_scales = bench_nuts._make_workload()
+            ess_per_sec, chees_post = bench_nuts.bench_chees(nuts_model, obs)
+            drift = float(
+                np.max(np.abs(chees_post - np.asarray(true_scales)))
+            )
+            if drift > 0.05:
+                _note(f"ChEES posterior drift {drift:.3f}; voiding ESS/s")
+                ess_per_sec = 0.0
+            result["ess_per_sec"] = round(ess_per_sec, 1)
+        except Exception as e:
+            print(f"[bench] ESS measurement failed: {e}", file=sys.stderr)
+        try:
+            if nuts_model is not None:
+                mq, mq_tuned, *_ = bench_nuts.bench_matched_quality(
+                    nuts_model, obs
+                )
+                result["matched_quality_speedup"] = round(mq, 1)
+                result["matched_quality_speedup_tuned_cpu"] = round(
+                    mq_tuned, 1
+                )
+        except Exception as e:
+            print(f"[bench] matched-quality failed: {e}", file=sys.stderr)
+        _emit(result)
+
+    # ---- stage 4: production SEIP model rows ----------------------------
+    if not SMALL and _have(360, "SEIP kernel rows"):
+        try:
+            _bench_seip_rows(result)
+        except Exception as e:
+            print(f"[bench] SEIP rows failed: {e}", file=sys.stderr)
+        _emit(result)
+
+    # ---- stage 5: one-shot latency (the reference user's entry path) ----
+    if not SMALL and _have(330, "oneshot fresh-process wall"):
+        try:
+            import subprocess
+
+            walls = []
+            for i in range(2):
+                t0 = time.perf_counter()
+                proc = subprocess.run(
+                    [sys.executable, "bench_nuts.py", "--oneshot"],
+                    capture_output=True, text=True, timeout=600,
+                )
+                walls.append(time.perf_counter() - t0)
+                last = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+                gate = json.loads(last)
+                if proc.returncode != 0 or not gate.get("oneshot_ok"):
+                    raise RuntimeError(
+                        f"oneshot run {i} rc={proc.returncode} gate={gate} "
+                        f"stderr tail: {proc.stderr[-500:]}"
+                    )
+            result["oneshot_cold_wall_s"] = round(walls[0], 1)
+            result["oneshot_wall_s"] = round(walls[1], 1)
+            _note(
+                f"one-shot 1024-chain ChEES fit, fresh process: "
+                f"{walls[1]:.1f}s with warm disk cache "
+                f"(cold {walls[0]:.1f}s) -- includes interpreter+imports"
+            )
+        except Exception as e:
+            print(f"[bench] oneshot row failed: {e}", file=sys.stderr)
+        _emit(result)
+
+    # ---- stage 6: secondary rows, cheapest-first within priority --------
+    if _have(110, "generic_kernel_max (full rows)"):
+        try:
+            generic_tps = bench_generic_kernel(
+                base, y0, KERNEL_WIDE_ENSEMBLE, name="generic_kernel_max"
+            )
+            cand_const["generic_kernel_max"] = (
+                generic_tps, KERNEL_WIDE_ENSEMBLE
+            )
+            result["traj_per_sec_generic_kernel"] = round(generic_tps, 1)
+            if rhs_flops:
+                result["roofline"]["generic_kernel_max"] = {
+                    **_kernel_roofline_const(
+                        "generic_kernel_max", KERNEL_WIDE_ENSEMBLE,
+                        6 * n_steps, rhs_flops,
+                        n_saves * _mp._d_rows(_mp.A_DIM, _mp.K_DIM)
+                        * KERNEL_WIDE_ENSEMBLE * 4,
+                    ),
+                    "bound_by": "VPU + full-rows f32 save DMAs",
+                }
+            _note(
+                f"generic rows-RHS kernel, fused pack+solve "
+                f"({KERNEL_WIDE_ENSEMBLE}): {generic_tps:,.0f} traj/s "
+                f"(roofline {result['roofline'].get('generic_kernel_max')})"
+            )
+            _refresh()
+            _emit(result)
+        except Exception as e:
+            print(f"[bench] generic kernel path failed: {e}", file=sys.stderr)
+
+    if _have(130, "generic_adaptive_max (full rows)"):
+        try:
+            gen_adapt_tps, gen_adapt_rel, _info = bench_generic_adaptive(
+                base, y0, KERNEL_WIDE_ENSEMBLE
+            )
+            cand_adapt["generic_adaptive"] = gen_adapt_tps
+            result["traj_per_sec_generic_adaptive"] = round(gen_adapt_tps, 1)
+            result.setdefault(
+                "generic_adaptive_gate_rel_err", round(gen_adapt_rel, 6)
+            )
+            _note(
+                f"generic ADAPTIVE kernel (lockstep BS3, rtol=1e-4, bf16 "
+                f"saves, {KERNEL_WIDE_ENSEMBLE}): {gen_adapt_tps:,.0f} "
+                f"traj/s (gate rel {gen_adapt_rel:.2e})"
+            )
+            _refresh()
+            _emit(result)
+        except Exception as e:
+            print(f"[bench] generic adaptive path failed: {e}",
+                  file=sys.stderr)
+
+    if _have(90, "pallas_multistrain_max"):
+        try:
+            pallas_max_tps = bench_pallas(
+                base, y0, KERNEL_WIDE_ENSEMBLE, name="pallas_multistrain_max"
+            )
+            cand_const["pallas_multistrain_max"] = (
+                pallas_max_tps, KERNEL_WIDE_ENSEMBLE
+            )
+            result["traj_per_sec_pallas_max"] = round(pallas_max_tps, 1)
+            _note(
+                f"pallas kernel at kernel-saturating width "
+                f"({KERNEL_WIDE_ENSEMBLE}): {pallas_max_tps:,.0f} traj/s"
+            )
+            _refresh()
+            _emit(result)
+        except Exception as e:
+            print(f"[bench] kernel-saturating pallas path failed: {e}",
+                  file=sys.stderr)
+
+    if _have(110, "batch_leading_wide"):
+        try:
+            wide_tps, wide_cold, wide_roof = bench_batch_leading_xla(
+                base, y0, WIDE_ENSEMBLE, name="batch_leading_wide"
+            )
+            cand_const["batch_leading_wide"] = (wide_tps, WIDE_ENSEMBLE)
+            result["roofline"]["batch_leading_wide"] = {
+                **wide_roof,
+                "bound_by": "HBM: per-step state streams through HBM",
+            }
+            result["cold_compile_s"] = round(wide_cold, 1)
+            _note(
+                f"batch-leading at saturating width ({WIDE_ENSEMBLE}): "
+                f"{wide_tps:,.0f} traj/s (cold compile {wide_cold:.1f}s; "
+                f"roofline {wide_roof})"
+            )
+            _refresh()
+            _emit(result)
+        except Exception as e:
+            print(f"[bench] wide-ensemble path failed: {e}", file=sys.stderr)
+
+    if _have(90, "lane_adaptive (XLA save-grid engine)"):
+        try:
+            lane_adapt_tps = bench_lane_adaptive(cfg, base, y0, WIDE_ENSEMBLE)
+            cand_adapt["lane_adaptive"] = lane_adapt_tps
+            result["traj_per_sec_adaptive_xla"] = round(lane_adapt_tps, 1)
+            _note(
+                f"adaptive lane-major (shared dt chain, {WIDE_ENSEMBLE}): "
+                f"{lane_adapt_tps:,.0f} traj/s"
+            )
+            _refresh()
+            _emit(result)
+        except Exception as e:
+            print(f"[bench] adaptive lane-major path failed: {e}",
+                  file=sys.stderr)
+
+    if _have(60, "xla_adaptive_vmap"):
+        try:
+            xla_tps = bench_xla_adaptive(cfg, base, y0, ENSEMBLE)
+            cand_adapt["xla_adaptive_vmap"] = xla_tps
+            _note(f"xla adaptive per-member vmap: {xla_tps:,.0f} traj/s")
+            _refresh()
+            _emit(result)
+        except Exception as e:
+            print(f"[bench] xla adaptive path failed: {e}", file=sys.stderr)
+
+    if _have(60, "lane_major_xla"):
+        try:
+            lane_tps = bench_lane_major_xla(base, y0, ENSEMBLE)
+            cand_const["lane_major_xla"] = (lane_tps, ENSEMBLE)
+            _note(f"lane-major XLA direct-save: {lane_tps:,.0f} traj/s")
+            _refresh()
+            _emit(result)
+        except Exception as e:
+            print(f"[bench] lane-major XLA path failed: {e}", file=sys.stderr)
+
+    if nuts_model is not None and _have(420, "ess_per_sec_amortized"):
+        try:
+            import numpy as np
+
+            amort_ess, amort_post = bench_nuts.bench_chees(
+                nuts_model, obs, num_samples=1600
+            )
+            drift = float(
+                np.max(np.abs(amort_post - np.asarray(true_scales)))
+            )
+            if drift > 0.05:
+                _note(f"amortized ChEES drift {drift:.3f}; voiding row")
+                amort_ess = 0.0
+            result["ess_per_sec_amortized"] = round(amort_ess, 1)
+            _note(
+                f"ChEES amortized draws (4096 x (200+1600)): "
+                f"{amort_ess:,.0f} ESS/s"
+            )
+            _emit(result)
+        except Exception as e:
+            print(f"[bench] amortized ESS row failed: {e}", file=sys.stderr)
+
+    if nuts_model is not None and _have(300, "matched_quality_amortized"):
+        try:
+            mqa, *_ = bench_nuts.bench_matched_quality_amortized(
+                nuts_model, obs
+            )
+            result["matched_quality_speedup_tuned_cpu_amortized"] = round(
+                mqa, 1
+            )
+            _emit(result)
+        except Exception as e:
+            print(f"[bench] amortized matched-quality failed: {e}",
+                  file=sys.stderr)
+
+    if nuts_model is not None and _have(180, "SVI row"):
+        try:
+            svi_steps_s, _, _, svi_err, _ = bench_nuts.bench_svi(
+                nuts_model, obs, true_scales
+            )
+            if svi_err > 0.05:
+                _note(f"SVI posterior err {svi_err:.3f} > 0.05; voiding row")
+                svi_steps_s = 0.0
+            result["svi_elbo_steps_per_sec"] = round(svi_steps_s, 1)
+            result["svi_posterior_max_err"] = round(svi_err, 4)
+            _emit(result)
+        except Exception as e:
+            print(f"[bench] SVI measurement failed: {e}", file=sys.stderr)
+
+    # ---- optional CPU re-measure (updates pins deliberately) ------------
+    if remeasure:
         try:
             measured_const = bench_cpu_constant(base, y0, CPU_ENSEMBLE)
             measured_adapt = bench_cpu_adaptive(cfg, base, y0, CPU_ENSEMBLE)
-            print(
-                f"[bench] CPU re-measured: constant {measured_const:,.0f} "
-                f"adaptive {measured_adapt:,.0f} traj/s "
-                f"(pinned: {cpu_const_tps:,.0f} / {cpu_adapt_tps:,.0f}) -- "
-                f"update {PINS_PATH} deliberately if the host changed",
-                file=sys.stderr,
+            _note(
+                f"CPU re-measured: constant {measured_const:,.0f} adaptive "
+                f"{measured_adapt:,.0f} traj/s (pinned: "
+                f"{cpu_const_tps:,.0f} / {cpu_adapt_tps:,.0f}) -- update "
+                f"{PINS_PATH} deliberately if the host changed"
             )
-            if not cpu_const_tps:
-                cpu_const_tps, cpu_adapt_tps = measured_const, measured_adapt
-                baseline_source = "measured"
         except Exception as e:
             print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
-    vs_baseline = tps_best / cpu_const_tps if cpu_const_tps else 0.0
-    vs_adaptive = adaptive_tps / cpu_adapt_tps if cpu_adapt_tps else 0.0
-    print(
-        f"[bench] vs {baseline_source} CPU baseline "
-        f"({cpu_const_tps:,.0f} const / {cpu_adapt_tps:,.0f} adaptive "
-        f"traj/s): {vs_baseline:.1f}x constant, {vs_adaptive:.1f}x adaptive",
-        file=sys.stderr,
-    )
 
-    # ---- production SEIP model row (round-3 VMEM kernel headline) -------
-    # The 640-float-state SEIP model is HBM-bound on the XLA path (knee at
-    # ~4k members); the whole-solve-in-VMEM Pallas kernel keeps scaling.
-    # Gate on member-for-member equivalence at B=1024 before reporting.
-    seip_tps = 0.0
-    seip_xla_tps = 0.0
-    seip_roof = {}
-    seip_kernel_save_gbps = 0.0
-    seip_adaptive_save_gbps = 0.0
-    try:
-        import numpy as np
-
-        from dynode_tpu.models.seip import (
-            seip_config,
-            seip_initial_state,
-            seip_ode,
-            seip_odeparams,
-        )
-        from dynode_tpu.ops.seip_pallas import seip_ensemble_solve
-
-        seip_cfg = seip_config(
-            seasonal_vaccination=True,
-            solver_params=SolverParams(constant_step_size=0.5),
-        )
-        seip_base = seip_odeparams(seip_cfg)
-        seip_y0 = seip_initial_state(seip_cfg)
-
-        def seip_scales(n, seed):
-            return jax.random.uniform(
-                jax.random.PRNGKey(seed), (n,), minval=0.85, maxval=1.2
-            )
-
-        def seip_solve_one(scale):
-            p = seip_base.replace(beta=seip_base.beta * scale)
-            sol = simulate(
-                seip_ode, 200, seip_y0, p,
-                seip_cfg.parameters.solver_params, sub_save_indices=(3,),
-            )
-            return sol.ys[3]
-
-        seip_lead = jax.jit(jax.vmap(seip_solve_one))
-
-        def seip_kernel(n, seed):
-            # bf16 saves halve the HBM output buffer (the kernel's width
-            # bound) AND its DMA traffic (state math stays exact f32 in
-            # VMEM; probes/probe_seip_bf16_width.py)
-            return seip_ensemble_solve(
-                seip_y0, seip_base, seip_scales(n, seed),
-                duration=200, dt=0.5, save=(3,), save_dtype=jnp.bfloat16,
-            )[0].astype(jnp.float32)
-
-        # equivalence gate at B=1024 (kernel RK4 + bf16-rounded saves vs
-        # XLA Tsit5 f32, same scales; bf16's ~4e-3 grid << the 2e-2 gate)
-        kc = np.asarray(jax.device_get(seip_kernel(1024, 0)))[-1]
-        xc = np.moveaxis(
-            np.asarray(jax.device_get(seip_lead(seip_scales(1024, 0))))[:, -1],
-            0, -1,
-        )
-        mdiff = float(
-            np.max(np.abs(kc - xc) / np.maximum(np.abs(xc), 1.0))
-        )
-        if mdiff > 2e-2:
-            raise RuntimeError(f"kernel equivalence failed ({mdiff:.2e})")
-        d1k = seip_scales(1024, 0)
-        seip_compiled = seip_lead.lower(d1k).compile()
-        seip_xla_tps = _timed_median(
-            "seip_xla_1k", lambda s: seip_lead(seip_scales(1024, s)), 1024,
-            repeats=3,
-        )
-        seip_roof = _roofline(
-            seip_compiled, statistics.median(WALLS["seip_xla_1k"])
-        )
-        _sync(seip_kernel(32768, 1))  # compile at headline width
-        seip_tps = _timed_median(
-            "seip_kernel_32k", lambda s: seip_kernel(32768, s), 32768,
-            repeats=3,
-        )
-        # the kernel's HBM traffic is by construction the save grid alone
-        # (state lives in VMEM): analytic save-DMA bandwidth
-        n_saves = 201  # daily saves over 200 days, t=0 included
-        c_elems = int(jnp.asarray(seip_y0[3]).size)
-        save_bytes = 32768 * n_saves * c_elems * 2  # bf16
-        seip_kernel_save_gbps = (
-            save_bytes / statistics.median(WALLS["seip_kernel_32k"]) / 1e9
-        )
-        print(
-            f"[bench] SEIP VMEM kernel (B=32768, bf16 C-only saves): "
-            f"{seip_tps:,.0f} traj/s (equivalence {mdiff:.2e}; save-DMA "
-            f"{seip_kernel_save_gbps:.1f} GB/s; XLA batch-leading at 1024: "
-            f"{seip_xla_tps:,.0f}, roofline {seip_roof})",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] SEIP kernel row failed: {e}", file=sys.stderr)
-
-    # ---- adaptive lockstep kernel (round 4): the reference's DEFAULT
-    # solve mode, in-kernel (BS3(2), dt shared per 1024-member block) ----
-    seip_adaptive_tps = 0.0
-    try:
-        import numpy as np
-
-        from dynode_tpu.ops.seip_pallas import seip_ensemble_solve_adaptive
-
-        def seip_kernel_adaptive(n, seed):
-            outs, stats = seip_ensemble_solve_adaptive(
-                seip_y0, seip_base, seip_scales(n, seed),
-                duration=200, rtol=1e-4, atol=1e-3, save=(3,),
-                save_dtype=jnp.bfloat16, packed=True,
-            )
-            return outs[0], stats
-
-        # gate: tolerance-level agreement with the (already-gated)
-        # constant-step kernel at B=1024, plus zero exhausted intervals
-        ka, st = seip_kernel_adaptive(1024, 0)
-        kc2 = seip_ensemble_solve(
-            seip_y0, seip_base, seip_scales(1024, 0),
-            duration=200, dt=0.5, save=(3,), save_dtype=jnp.bfloat16,
-            packed=True,
-        )[0]
-        bad = int(np.asarray(st["exhausted_intervals"]).sum())
-        anum = float(jnp.max(jnp.abs(
-            ka.astype(jnp.float32) - kc2.astype(jnp.float32)
-        )))
-        aden = float(jnp.max(jnp.abs(kc2.astype(jnp.float32))))
-        adiff = anum / aden
-        if adiff > 2e-2 or bad:
-            raise RuntimeError(
-                f"adaptive gate failed (rel {adiff:.2e}, exhausted {bad})"
-            )
-        _sync(seip_kernel_adaptive(32768, 1)[0])
-        seip_adaptive_tps = _timed_median(
-            "seip_kernel_adaptive_32k",
-            lambda s: seip_kernel_adaptive(32768, s)[0], 32768, repeats=3,
-        )
-        seip_adaptive_save_gbps = (
-            32768 * 201 * int(jnp.asarray(seip_y0[3]).size) * 2
-            / statistics.median(WALLS["seip_kernel_adaptive_32k"]) / 1e9
-        )
-        print(
-            f"[bench] SEIP ADAPTIVE kernel (lockstep BS3, rtol=1e-4, "
-            f"B=32768, bf16 C-only saves): {seip_adaptive_tps:,.0f} traj/s "
-            f"(gate rel {adiff:.2e} vs const kernel; save-DMA "
-            f"{seip_adaptive_save_gbps:.1f} GB/s)",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] SEIP adaptive kernel row failed: {e}", file=sys.stderr)
-
-    # ---- second half of the BASELINE.md headline: NUTS/ChEES ESS per sec
-    # and the matched-quality north-star ratio ---------------------------
-    ess_per_sec = 0.0
-    matched_quality = matched_quality_tuned = 0.0
-    matched_quality_amortized = 0.0
-    try:
-        import numpy as np
-
-        import bench_nuts
-
-        model, forward = bench_nuts.build_model()
-        true_scales = jnp.array([1.1, 0.95, 1.05])
-        c = forward(true_scales)
-        obs = jax.random.poisson(
-            jax.random.PRNGKey(0), jnp.maximum(jnp.diff(c, axis=0), 1e-6)
-        )
-        ess_per_sec, chees_post = bench_nuts.bench_chees(model, obs)
-        drift = float(np.max(np.abs(chees_post - np.asarray(true_scales))))
-        if drift > 0.05:
-            print(
-                f"[bench] ChEES posterior drift {drift:.3f}; voiding ESS/s",
-                file=sys.stderr,
-            )
-            ess_per_sec = 0.0
-        matched_quality, matched_quality_tuned, *_ = (
-            bench_nuts.bench_matched_quality(model, obs)
-        )
-        matched_quality_amortized, *_ = (
-            bench_nuts.bench_matched_quality_amortized(model, obs)
-        )
-    except Exception as e:
-        print(f"[bench] ESS/matched-quality measurement failed: {e}", file=sys.stderr)
-
-    # ---- SVI as a first-class inference path (VERDICT r3 item 5) --------
-    svi_steps_s = svi_err = 0.0
-    try:
-        svi_steps_s, _, _, svi_err, _ = bench_nuts.bench_svi(
-            model, obs, true_scales
-        )
-        if svi_err > 0.05:
-            print(
-                f"[bench] SVI posterior err {svi_err:.3f} > 0.05 gate; "
-                "voiding the SVI row",
-                file=sys.stderr,
-            )
-            svi_steps_s = 0.0
-    except Exception as e:
-        print(f"[bench] SVI measurement failed: {e}", file=sys.stderr)
-
-    # ---- regression gate vs prior-round medians --------------------------
-    result = {
-        "metric": "multistrain_seirs_trajectories_per_sec",
-        "value": round(tps_best, 1),
-        "unit": "traj/s",
-        "vs_baseline": round(vs_baseline, 2),
-        "vs_baseline_adaptive_same_program": round(vs_adaptive, 2),
-        "baseline_source": baseline_source,
-        "ensemble_width": (
-            OBS_WIDE_ENSEMBLE
-            if tps_best == generic_obs_tps
-            else (
-                KERNEL_WIDE_ENSEMBLE
-                if tps_best in (pallas_max_tps, generic_tps)
-                else (WIDE_ENSEMBLE if tps_best > tps else ENSEMBLE)
-            )
-        ),
-        "value_at_10k": round(tps, 1),
-        "traj_per_sec": round(tps_best, 1),
-        "traj_per_sec_pallas_wide": round(pallas_wide_tps, 1),
-        "traj_per_sec_pallas_max": round(pallas_max_tps, 1),
-        "traj_per_sec_generic_kernel": round(generic_tps, 1),
-        "traj_per_sec_generic_kernel_obs_saves": round(generic_obs_tps, 1),
-        "traj_per_sec_adaptive": round(adaptive_tps, 1),
-        "traj_per_sec_generic_adaptive": round(gen_adapt_tps, 1),
-        "traj_per_sec_generic_adaptive_obs_saves": round(
-            gen_adapt_obs_tps, 1
-        ),
-        "generic_adaptive_gate_rel_err": round(gen_adapt_rel, 6),
-        "ess_per_sec": round(ess_per_sec, 1),
-        "matched_quality_speedup": round(matched_quality, 1),
-        "matched_quality_speedup_tuned_cpu": round(matched_quality_tuned, 1),
-        "matched_quality_speedup_tuned_cpu_amortized": round(
-            matched_quality_amortized, 1
-        ),
-        "seip_traj_per_sec": round(seip_tps, 1),
-        "seip_traj_per_sec_adaptive_kernel": round(seip_adaptive_tps, 1),
-        "seip_traj_per_sec_xla_1k": round(seip_xla_tps, 1),
-        "svi_elbo_steps_per_sec": round(svi_steps_s, 1),
-        "svi_posterior_max_err": round(svi_err, 4),
-        "cold_compile_s": round(cold_compile_s, 1),
-        "roofline": {
-            # what bounds each path, in one line each (VERDICT r3 item 2)
-            "batch_leading_wide": {
-                **wide_roof,
-                "bound_by": "HBM: per-step state streams through HBM; "
-                "fusion leaves ~10x the perfect-fusion traffic",
-            },
-            "pallas_multistrain_wide": {
-                "bound_by": "VPU + sequential grid-block loop: state is "
-                "VMEM-resident, HBM = save grid; wide lane blocks "
-                "(auto block_b=2048) amortize per-step loop overhead "
-                "(sweep: 657k @256 lanes -> 1,240k @2048, B=79872; "
-                "kernel saturates ~160k members at ~1.87M; 320k OOMs "
-                "the (T,D,B) save buffer)",
-            },
-            "seip_xla_1k": {
-                **seip_roof,
-                "bound_by": "HBM: 640-float state x 6 stage evals x 400 "
-                "steps round-trips HBM every stage",
-            },
-            "seip_kernel_32k": {
-                "achieved_save_dma_gbps": round(seip_kernel_save_gbps, 2),
-                "bound_by": "VMEM capacity (output save buffer sets max "
-                "width) + VPU: state never touches HBM",
-            },
-            "generic_kernel_obs_max": {
-                "bound_by": "VPU + save buffer: save_rows=c saves only "
-                "the 6 observable incidence rows of 26 (bf16), cutting "
-                "the (T,rows,B) buffer ~8.7x vs full f32 -- unlocks "
-                "B=655360 in-bench (983040 measured fresh-process at "
-                "5.67M traj/s) at the highest multistrain throughput; "
-                "the old 491520 OOM record was same-process alloc "
-                "poisoning by the full-f32 variant",
-            },
-            "generic_adaptive_max": {
-                "bound_by": "VPU: ~1.0 accepted lockstep BS3 steps/day "
-                "(4 RHS evals + block-max error norm each) vs const "
-                "Tsit5's 2x6 evals -- adaptive matches const throughput "
-                "WITH error control; bf16 save staging halves the "
-                "(T,R,B) buffer that OOMs f32 at 163840",
-            },
-            "seip_kernel_adaptive_32k": {
-                "achieved_save_dma_gbps": round(seip_adaptive_save_gbps, 2),
-                "bound_by": "VPU: ~1.2 accepted BS3 steps/day (4 RHS evals "
-                "+ error norm each) all VMEM-resident; HBM = save grid",
-            },
-        },
-        "measurements": _measurements_block(),
-    }
-
+    # ---- regression gate vs prior-round medians + final emission --------
     prior = pins.get("prior_medians", {})
     regressions = []
     for k, prev in prior.items():
         cur = result.get(k, 0.0)
         if prev and cur and cur < 0.7 * prev:
-            regressions.append(
-                {"metric": k, "prior": prev, "current": cur}
+            regressions.append({"metric": k, "prior": prev, "current": cur})
+            _note(
+                f"REGRESSION: {k} = {cur:,.1f} < 0.7x prior median "
+                f"{prev:,.1f}"
             )
-            print(
-                f"[bench] REGRESSION: {k} = {cur:,.1f} < 0.7x prior "
-                f"median {prev:,.1f}",
-                file=sys.stderr,
-            )
+        elif prev and cur:
+            _note(f"vs prior {k}: {cur:,.1f} / {prev:,.1f} "
+                  f"({cur / prev:.2f}x)")
         elif prev:
-            print(
-                f"[bench] vs prior {k}: {cur:,.1f} / {prev:,.1f} "
-                f"({cur / prev:.2f}x)",
-                file=sys.stderr,
-            )
+            _note(f"vs prior {k}: row not measured this run "
+                  f"(prior {prev:,.1f})")
     budget = float(pins.get("cold_compile_budget_s", 0.0))
+    cold_compile_s = float(result.get("cold_compile_s", 0.0))
     if budget and cold_compile_s > budget:
         regressions.append(
-            {
-                "metric": "cold_compile_s",
-                "prior": budget,
-                "current": cold_compile_s,
-            }
+            {"metric": "cold_compile_s", "prior": budget,
+             "current": cold_compile_s}
         )
-        print(
-            f"[bench] REGRESSION: cold compile {cold_compile_s:.1f}s exceeds "
-            f"pinned budget {budget:.1f}s",
-            file=sys.stderr,
+        _note(
+            f"REGRESSION: cold compile {cold_compile_s:.1f}s exceeds "
+            f"pinned budget {budget:.1f}s"
         )
     result["regressions"] = regressions
+    _refresh()
+    _emit(result)
 
-    print(json.dumps(result))
+
+def _bench_seip_rows(result):
+    """Production SEIP model rows (round-3/4 VMEM kernel headline).
+
+    The 640-float-state SEIP model is HBM-bound on the XLA path (knee at
+    ~4k members); the whole-solve-in-VMEM Pallas kernel keeps scaling.
+    Gates on member-for-member equivalence at B=1024 before reporting.
+    Writes seip_* keys and roofline entries into ``result``.
+    """
+    import numpy as np
+
+    from dynode_tpu.models.seip import (
+        seip_config,
+        seip_initial_state,
+        seip_ode,
+        seip_odeparams,
+    )
+    from dynode_tpu.ops.seip_pallas import (
+        seip_ensemble_solve,
+        seip_ensemble_solve_adaptive,
+    )
+
+    seip_cfg = seip_config(
+        seasonal_vaccination=True,
+        solver_params=SolverParams(constant_step_size=0.5),
+    )
+    seip_base = seip_odeparams(seip_cfg)
+    seip_y0 = seip_initial_state(seip_cfg)
+
+    def seip_scales(n, seed):
+        return jax.random.uniform(
+            jax.random.PRNGKey(seed), (n,), minval=0.85, maxval=1.2
+        )
+
+    def seip_solve_one(scale):
+        p = seip_base.replace(beta=seip_base.beta * scale)
+        sol = simulate(
+            seip_ode, 200, seip_y0, p,
+            seip_cfg.parameters.solver_params, sub_save_indices=(3,),
+        )
+        return sol.ys[3]
+
+    seip_lead = jax.jit(jax.vmap(seip_solve_one))
+
+    def seip_kernel(n, seed):
+        # bf16 saves halve the HBM output buffer (the kernel's width
+        # bound) AND its DMA traffic (state math stays exact f32 in
+        # VMEM; probes/probe_seip_bf16_width.py)
+        return seip_ensemble_solve(
+            seip_y0, seip_base, seip_scales(n, seed),
+            duration=200, dt=0.5, save=(3,), save_dtype=jnp.bfloat16,
+        )[0].astype(jnp.float32)
+
+    # equivalence gate at B=1024 (kernel RK4 + bf16-rounded saves vs
+    # XLA Tsit5 f32, same scales; bf16's ~4e-3 grid << the 2e-2 gate)
+    kc = np.asarray(jax.device_get(seip_kernel(1024, 0)))[-1]
+    xc = np.moveaxis(
+        np.asarray(jax.device_get(seip_lead(seip_scales(1024, 0))))[:, -1],
+        0, -1,
+    )
+    mdiff = float(np.max(np.abs(kc - xc) / np.maximum(np.abs(xc), 1.0)))
+    if mdiff > 2e-2:
+        raise RuntimeError(f"kernel equivalence failed ({mdiff:.2e})")
+    d1k = seip_scales(1024, 0)
+    seip_compiled = seip_lead.lower(d1k).compile()
+    seip_xla_tps = _timed_median(
+        "seip_xla_1k", lambda s: seip_lead(seip_scales(1024, s)), 1024,
+        repeats=3,
+    )
+    seip_roof = _roofline(
+        seip_compiled, statistics.median(WALLS["seip_xla_1k"])
+    )
+    result["seip_traj_per_sec_xla_1k"] = round(seip_xla_tps, 1)
+    result["roofline"]["seip_xla_1k"] = {
+        **seip_roof,
+        "bound_by": "HBM: 640-float state x 6 stage evals x 400 steps "
+        "round-trips HBM every stage",
+    }
+    _sync(seip_kernel(32768, 1))  # compile at headline width
+    seip_tps = _timed_median(
+        "seip_kernel_32k", lambda s: seip_kernel(32768, s), 32768,
+        repeats=3,
+    )
+    # the kernel's HBM traffic is by construction the save grid alone
+    # (state lives in VMEM): analytic save-DMA bandwidth
+    n_saves = 201  # daily saves over 200 days, t=0 included
+    c_elems = int(jnp.asarray(seip_y0[3]).size)
+    save_bytes = 32768 * n_saves * c_elems * 2  # bf16
+    seip_kernel_save_gbps = (
+        save_bytes / statistics.median(WALLS["seip_kernel_32k"]) / 1e9
+    )
+    result["seip_traj_per_sec"] = round(seip_tps, 1)
+    result["roofline"]["seip_kernel_32k"] = {
+        "achieved_save_dma_gbps": round(seip_kernel_save_gbps, 2),
+        "bound_by": "VMEM capacity (output save buffer sets max width) + "
+        "VPU: state never touches HBM",
+    }
+    _note(
+        f"SEIP VMEM kernel (B=32768, bf16 C-only saves): {seip_tps:,.0f} "
+        f"traj/s (equivalence {mdiff:.2e}; save-DMA "
+        f"{seip_kernel_save_gbps:.1f} GB/s; XLA batch-leading at 1024: "
+        f"{seip_xla_tps:,.0f}, roofline {seip_roof})"
+    )
+
+    # adaptive lockstep kernel (round 4): the reference's DEFAULT solve
+    # mode, in-kernel (BS3(2), dt shared per 1024-member block)
+    def seip_kernel_adaptive(n, seed):
+        outs, stats = seip_ensemble_solve_adaptive(
+            seip_y0, seip_base, seip_scales(n, seed),
+            duration=200, rtol=1e-4, atol=1e-3, save=(3,),
+            save_dtype=jnp.bfloat16, packed=True,
+        )
+        return outs[0], stats
+
+    # gate: tolerance-level agreement with the (already-gated)
+    # constant-step kernel at B=1024, plus zero exhausted intervals
+    ka, st = seip_kernel_adaptive(1024, 0)
+    kc2 = seip_ensemble_solve(
+        seip_y0, seip_base, seip_scales(1024, 0),
+        duration=200, dt=0.5, save=(3,), save_dtype=jnp.bfloat16,
+        packed=True,
+    )[0]
+    bad = int(np.asarray(st["exhausted_intervals"]).sum())
+    anum = float(jnp.max(jnp.abs(
+        ka.astype(jnp.float32) - kc2.astype(jnp.float32)
+    )))
+    aden = float(jnp.max(jnp.abs(kc2.astype(jnp.float32))))
+    adiff = anum / aden
+    if adiff > 2e-2 or bad:
+        raise RuntimeError(
+            f"adaptive gate failed (rel {adiff:.2e}, exhausted {bad})"
+        )
+    _sync(seip_kernel_adaptive(32768, 1)[0])
+    seip_adaptive_tps = _timed_median(
+        "seip_kernel_adaptive_32k",
+        lambda s: seip_kernel_adaptive(32768, s)[0], 32768, repeats=3,
+    )
+    seip_adaptive_save_gbps = (
+        save_bytes
+        / statistics.median(WALLS["seip_kernel_adaptive_32k"]) / 1e9
+    )
+    result["seip_traj_per_sec_adaptive_kernel"] = round(seip_adaptive_tps, 1)
+    result["roofline"]["seip_kernel_adaptive_32k"] = {
+        "achieved_save_dma_gbps": round(seip_adaptive_save_gbps, 2),
+        "bound_by": "VPU: ~1.2 accepted BS3 steps/day (4 RHS evals + "
+        "error norm each) all VMEM-resident; HBM = save grid",
+    }
+    _note(
+        f"SEIP ADAPTIVE kernel (lockstep BS3, rtol=1e-4, B=32768, bf16 "
+        f"C-only saves): {seip_adaptive_tps:,.0f} traj/s (gate rel "
+        f"{adiff:.2e} vs const kernel; save-DMA "
+        f"{seip_adaptive_save_gbps:.1f} GB/s)"
+    )
 
 
 if __name__ == "__main__":

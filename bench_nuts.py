@@ -556,12 +556,60 @@ def bench_svi(model, obs, true_scales, num_starts=1024, num_steps=300):
     return steps_per_sec, cold_wall, warm_wall, err, spread
 
 
-def main():
+def _make_workload():
+    """(model, obs, true_scales) for every entry point in this file."""
     model, forward = build_model()
     true_scales = jnp.array([1.1, 0.95, 1.05])
     c = forward(true_scales)
     key = jax.random.PRNGKey(0)
     obs = jax.random.poisson(key, jnp.maximum(jnp.diff(c, axis=0), 1e-6))
+    return model, obs, true_scales
+
+
+def run_oneshot():
+    """One-shot latency mode (``python bench_nuts.py --oneshot``).
+
+    The reference user's literal entry path: a fresh process builds the
+    model and runs ``MCMCProcess.infer()`` once (which now enables the
+    on-disk XLA executable cache on TPU, infer/inference.py). The CALLER
+    times the whole subprocess -- imports, trace, compile-or-cache-load,
+    sampling -- so run it twice: first call warms the disk cache, second
+    measures the steady one-shot wall. Prints one JSON line with the
+    posterior-drift gate.
+    """
+    from dynode_tpu.infer import MCMCProcess
+
+    model, obs, true_scales = _make_workload()
+    proc = MCMCProcess(
+        numpyro_model=model,
+        num_warmup=8,
+        num_samples=8,
+        # env override: lets the CPU test tier smoke this path in seconds
+        num_chains=int(os.environ.get("DYNODE_ONESHOT_CHAINS", "1024")),
+        nuts_max_tree_depth=MAX_TREE_DEPTH,
+        sampler="chees",
+        progress_bar=False,
+        mcmc_kwargs={"steps_per_call": 16},
+    )
+    proc.infer(obs=obs)
+    arr = np.asarray(
+        proc.get_samples(group_by_chain=True)["r0_scales"], dtype=np.float64
+    )
+    drift = float(
+        np.max(np.abs(arr.reshape(-1, 3).mean(axis=0) - np.asarray(true_scales)))
+    )
+    print(json.dumps({"oneshot_drift": round(drift, 4),
+                      "oneshot_ok": drift < 0.05}))
+
+
+def main():
+    import dynode_tpu
+
+    # persistent executable cache: a code-unchanged rerun of this bench
+    # skips the multi-minute tunnel compiles (keyed on HLO -- code changes
+    # miss cleanly); measured 387.6s -> 108.5s on the 1024-chain NUTS fit
+    dynode_tpu.enable_compilation_cache()
+    model, obs, true_scales = _make_workload()
 
     mcmc = MCMC(
         NUTS(model, dense_mass=True, max_tree_depth=MAX_TREE_DEPTH),
@@ -632,6 +680,15 @@ def main():
         )
 
     nuts_ess_s = ess / wall
+    # interim emission: a later-row failure/timeout must not erase the
+    # headline already measured (round-4 lesson: BENCH_r04 parsed null)
+    print(json.dumps({
+        "metric": "multistrain_seirs_mcmc_ess_per_sec",
+        "value": round(nuts_ess_s, 3),
+        "unit": "ESS/s",
+        "nuts_ess_per_sec": round(nuts_ess_s, 3),
+        "partial": True,
+    }), flush=True)
     chees_ess_s = 0.0
     try:
         chees_ess_s, chees_post = bench_chees(model, obs)
@@ -734,4 +791,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--oneshot" in sys.argv:
+        run_oneshot()
+    else:
+        main()

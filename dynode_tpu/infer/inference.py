@@ -71,6 +71,22 @@ class InferenceProcess(BaseModel):
             )
 
 
+def _enable_cache_on_tpu():
+    """Turn on the on-disk XLA executable cache for TPU fits.
+
+    Every ``infer()`` on the TPU backend opts into JAX's persistent
+    compilation cache (measured: a fresh-process 1024-chain NUTS fit's
+    wall drops 387.6s -> 108.5s on the v5e tunnel,
+    probes/probe_compilation_cache.py). Idempotent; no-op off-TPU so CPU
+    test runs don't touch disk; ``DYNODE_COMPILATION_CACHE=0`` is the
+    operator kill-switch (read inside the helper).
+    """
+    if jax.default_backend() == "tpu":
+        from ..utils.compilation_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+
 class MCMCProcess(InferenceProcess):
     """NUTS-based fitting with vectorized (mesh-shardable) chains."""
 
@@ -117,6 +133,7 @@ class MCMCProcess(InferenceProcess):
         its own ``inference_prngkey`` — two default-keyed warm segments
         would otherwise share a transition stream.
         """
+        _enable_cache_on_tpu()
         if self.sampler == "chees":
             from .chees import ChEES
 
@@ -279,6 +296,7 @@ class SVIProcess(InferenceProcess):
 
     def infer(self, **kwargs) -> SVI:
         """Fit with SVI; extra kwargs go to the model callable."""
+        _enable_cache_on_tpu()
         guide = self.guide_class(
             self.numpyro_model,
             init_loc_fn=self.guide_init_strategy,

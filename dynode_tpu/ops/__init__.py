@@ -27,8 +27,16 @@ from .multistrain_pallas import (
     pick_block_b,
     unpack_saves,
 )
+from .sharded import (
+    ensemble_solve_kernel_adaptive_sharded,
+    ensemble_solve_kernel_sharded,
+    seip_ensemble_solve_sharded,
+)
 
 __all__ = [
+    "ensemble_solve_kernel_sharded",
+    "ensemble_solve_kernel_adaptive_sharded",
+    "seip_ensemble_solve_sharded",
     "ensemble_solve_tsit5",
     "ensemble_solve_reference",
     "ensemble_solve_kernel",
