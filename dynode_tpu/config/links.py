@@ -66,6 +66,8 @@ class PlaceholderSample(Distribution):
     """
 
     def sample(self, key=None, sample_shape=()):
+        """Raise :class:`SamplePlaceholderError`: placeholders must be substituted.
+        """
         raise SamplePlaceholderError(
             "Attempted to sample a PosteriorSample parameter outside of a "
             "Predictive() context. This likely means you did not provide "
@@ -75,6 +77,8 @@ class PlaceholderSample(Distribution):
 
     def log_prob(self, value):
         # substituted values contribute no density of their own
+        """Zero density: substituted values contribute no likelihood of their own.
+        """
         import jax.numpy as jnp
 
         return jnp.zeros_like(jnp.asarray(value, dtype=jnp.result_type(float)))

@@ -66,10 +66,12 @@ class LessThan(Constraint):
 
 
 class IntegerNonnegative(Constraint):
+    """Constraint: integer-valued and ``>= 0``."""
     is_discrete = True
 
 
 class IntegerInterval(Constraint):
+    """Constraint: integer in ``[lower_bound, upper_bound]``."""
     is_discrete = True
 
     def __init__(self, low: int, high: Optional[int] = None):

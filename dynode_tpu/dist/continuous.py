@@ -33,6 +33,7 @@ def _log_diff_ndtr(a, b):
 
 
 class Normal(Distribution):
+    """Gaussian with location ``loc`` and scale ``scale``."""
     support = C.real
 
     def __init__(self, loc=0.0, scale=1.0):
@@ -40,24 +41,29 @@ class Normal(Distribution):
         self._batch_shape = self._broadcast_batch_shape(loc, scale)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         eps = jax.random.normal(key, shape, dtype=jnp.result_type(float))
         return _f(self.loc) + _f(self.scale) * eps
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         z = (_f(value) - _f(self.loc)) / _f(self.scale)
         return -0.5 * z * z - jnp.log(_f(self.scale)) - _LOG_SQRT_2PI
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return jnp.broadcast_to(_f(self.loc), self.batch_shape)
 
     @property
     def variance(self):
+        """Variance of the distribution."""
         return jnp.broadcast_to(_f(self.scale) ** 2, self.batch_shape)
 
 
 class LogNormal(Distribution):
+    """Distribution of ``exp(X)`` for ``X ~ Normal(loc, scale)``."""
     support = C.positive
 
     def __init__(self, loc=0.0, scale=1.0):
@@ -65,11 +71,13 @@ class LogNormal(Distribution):
         self._batch_shape = self._broadcast_batch_shape(loc, scale)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         eps = jax.random.normal(key, shape, dtype=jnp.result_type(float))
         return jnp.exp(_f(self.loc) + _f(self.scale) * eps)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         value = _f(value)
         logx = jnp.log(value)
         z = (logx - _f(self.loc)) / _f(self.scale)
@@ -77,10 +85,12 @@ class LogNormal(Distribution):
 
     @property
     def mean(self):
+        """Mean ``exp(loc + scale**2 / 2)``."""
         return jnp.exp(_f(self.loc) + 0.5 * _f(self.scale) ** 2)
 
 
 class HalfNormal(Distribution):
+    """``Normal(0, scale)`` folded onto the nonnegative half-line."""
     support = C.positive
 
     def __init__(self, scale=1.0):
@@ -88,21 +98,25 @@ class HalfNormal(Distribution):
         self._batch_shape = self._broadcast_batch_shape(scale)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         return jnp.abs(jax.random.normal(key, shape, dtype=jnp.result_type(float))) * _f(
             self.scale
         )
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         z = _f(value) / _f(self.scale)
         return math.log(2.0) - 0.5 * z * z - jnp.log(_f(self.scale)) - _LOG_SQRT_2PI
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return _f(self.scale) * math.sqrt(2.0 / math.pi)
 
 
 class Cauchy(Distribution):
+    """Cauchy with location ``loc`` and scale ``scale``."""
     support = C.real
 
     def __init__(self, loc=0.0, scale=1.0):
@@ -110,22 +124,26 @@ class Cauchy(Distribution):
         self._batch_shape = self._broadcast_batch_shape(loc, scale)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         return _f(self.loc) + _f(self.scale) * jax.random.cauchy(
             key, shape, dtype=jnp.result_type(float)
         )
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         z = (_f(value) - _f(self.loc)) / _f(self.scale)
         return -math.log(math.pi) - jnp.log(_f(self.scale)) - jnp.log1p(z * z)
 
     @property
     def mean(self):
         # undefined; return loc as the natural center for init heuristics.
+        """Mean of the distribution."""
         return jnp.broadcast_to(_f(self.loc), self.batch_shape)
 
 
 class HalfCauchy(Distribution):
+    """``Cauchy(0, scale)`` folded onto the nonnegative half-line."""
     support = C.positive
 
     def __init__(self, scale=1.0):
@@ -133,12 +151,14 @@ class HalfCauchy(Distribution):
         self._batch_shape = self._broadcast_batch_shape(scale)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         return jnp.abs(jax.random.cauchy(key, shape, dtype=jnp.result_type(float))) * _f(
             self.scale
         )
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         z = _f(value) / _f(self.scale)
         return (
             math.log(2.0 / math.pi) - jnp.log(_f(self.scale)) - jnp.log1p(z * z)
@@ -146,10 +166,12 @@ class HalfCauchy(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return jnp.broadcast_to(_f(self.scale), self.batch_shape)
 
 
 class StudentT(Distribution):
+    """Student's t with ``df`` degrees of freedom, location and scale."""
     support = C.real
 
     def __init__(self, df, loc=0.0, scale=1.0):
@@ -157,11 +179,13 @@ class StudentT(Distribution):
         self._batch_shape = self._broadcast_batch_shape(df, loc, scale)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         t = jax.random.t(key, _f(self.df), shape, dtype=jnp.result_type(float))
         return _f(self.loc) + _f(self.scale) * t
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         df = _f(self.df)
         z = (_f(value) - _f(self.loc)) / _f(self.scale)
         return (
@@ -174,21 +198,25 @@ class StudentT(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return jnp.broadcast_to(_f(self.loc), self.batch_shape)
 
 
 class Uniform(Distribution):
+    """Uniform on ``[low, high)``."""
     def __init__(self, low=0.0, high=1.0):
         self.low, self.high = low, high
         self._batch_shape = self._broadcast_batch_shape(low, high)
         self.support = C.Interval(low, high)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         u = jax.random.uniform(key, shape, dtype=jnp.result_type(float))
         return _f(self.low) + (_f(self.high) - _f(self.low)) * u
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         value = _f(value)
         lp = -jnp.log(_f(self.high) - _f(self.low))
         inside = (value >= _f(self.low)) & (value <= _f(self.high))
@@ -196,10 +224,12 @@ class Uniform(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return 0.5 * (_f(self.low) + _f(self.high))
 
 
 class Exponential(Distribution):
+    """Exponential with ``rate`` (mean ``1/rate``)."""
     support = C.positive
 
     def __init__(self, rate=1.0):
@@ -207,20 +237,24 @@ class Exponential(Distribution):
         self._batch_shape = self._broadcast_batch_shape(rate)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.exponential(key, shape, dtype=jnp.result_type(float)) / _f(
             self.rate
         )
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         return jnp.log(_f(self.rate)) - _f(self.rate) * _f(value)
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return 1.0 / _f(self.rate)
 
 
 class Gamma(Distribution):
+    """Gamma with shape ``concentration`` and ``rate``."""
     support = C.positive
 
     def __init__(self, concentration, rate=1.0):
@@ -228,6 +262,7 @@ class Gamma(Distribution):
         self._batch_shape = self._broadcast_batch_shape(concentration, rate)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         g = jax.random.gamma(
             key,
@@ -237,15 +272,19 @@ class Gamma(Distribution):
         return g / _f(self.rate)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         a, b, x = _f(self.concentration), _f(self.rate), _f(value)
         return a * jnp.log(b) + (a - 1.0) * jnp.log(x) - b * x - jsp.gammaln(a)
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return _f(self.concentration) / _f(self.rate)
 
 
 class Beta(Distribution):
+    """Beta on ``(0, 1)`` with shapes ``concentration1``, ``concentration0``.
+    """
     support = C.unit_interval
 
     def __init__(self, concentration1, concentration0):
@@ -254,6 +293,7 @@ class Beta(Distribution):
         self._batch_shape = self._broadcast_batch_shape(concentration1, concentration0)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.beta(
             key,
@@ -263,6 +303,7 @@ class Beta(Distribution):
         )
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         a, b, x = _f(self.concentration1), _f(self.concentration0), _f(value)
         return (
             (a - 1.0) * jnp.log(x)
@@ -272,6 +313,7 @@ class Beta(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         a, b = _f(self.concentration1), _f(self.concentration0)
         return a / (a + b)
 
@@ -304,6 +346,7 @@ class TruncatedNormal(Distribution):
         return a, b
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         a, b = self._std_bounds()
         z = jax.random.truncated_normal(
@@ -316,6 +359,7 @@ class TruncatedNormal(Distribution):
         return _f(self.loc) + _f(self.scale) * z
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         a, b = self._std_bounds()
         z = (_f(value) - _f(self.loc)) / _f(self.scale)
         base = -0.5 * z * z - jnp.log(_f(self.scale)) - _LOG_SQRT_2PI
@@ -325,6 +369,7 @@ class TruncatedNormal(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         a, b = self._std_bounds()
         phi_a = jnp.where(jnp.isfinite(a), jnp.exp(-0.5 * a * a), 0.0) / math.sqrt(
             2 * math.pi
@@ -347,11 +392,13 @@ class Dirichlet(Distribution):
         self._batch_shape = self.concentration.shape[:-1]
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape + self.event_shape
         g = jax.random.gamma(key, jnp.broadcast_to(self.concentration, shape))
         return g / jnp.sum(g, axis=-1, keepdims=True)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         a = self.concentration
         x = _f(value)
         return (
@@ -362,6 +409,7 @@ class Dirichlet(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return self.concentration / jnp.sum(
             self.concentration, axis=-1, keepdims=True
         )
@@ -381,11 +429,13 @@ class MultivariateNormal(Distribution):
         )
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape + self.event_shape
         eps = jax.random.normal(key, shape, dtype=jnp.result_type(float))
         return self.loc + jnp.einsum("...ij,...j->...i", self.scale_tril, eps)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         diff = _f(value) - self.loc
         # solve L z = diff
         z = jax.scipy.linalg.solve_triangular(self.scale_tril, diff[..., None], lower=True)[
@@ -399,6 +449,7 @@ class MultivariateNormal(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return self.loc
 
 

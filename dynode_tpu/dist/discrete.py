@@ -18,6 +18,7 @@ def _f(x):
 
 
 class Poisson(Distribution):
+    """Poisson counts with mean ``rate``."""
     support = C.integer_nonnegative
 
     def __init__(self, rate):
@@ -25,23 +26,28 @@ class Poisson(Distribution):
         self._batch_shape = self._broadcast_batch_shape(rate)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.poisson(key, _f(self.rate), shape)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         k, lam = _f(value), _f(self.rate)
         return k * jnp.log(lam) - lam - jsp.gammaln(k + 1.0)
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return _f(self.rate)
 
     @property
     def variance(self):
+        """Variance of the distribution."""
         return _f(self.rate)
 
 
 class Bernoulli(Distribution):
+    """Bernoulli trials parameterized by ``probs`` or ``logits``."""
     support = C.IntegerInterval(0, 1)
 
     def __init__(self, probs=None, logits=None):
@@ -55,22 +61,26 @@ class Bernoulli(Distribution):
 
     @property
     def probs(self):
+        """Probability parameterization (derived from logits if needed)."""
         if self._probs is not None:
             return _f(self._probs)
         return jax.nn.sigmoid(_f(self._logits))
 
     @property
     def logits(self):
+        """Logit parameterization (derived from probs if needed)."""
         if self._logits is not None:
             return _f(self._logits)
         p = _f(self._probs)
         return jnp.log(p) - jnp.log1p(-p)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.bernoulli(key, self.probs, shape).astype(jnp.int32)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         logits = self.logits
         v = _f(value)
         # -softplus(-logits) = log sigmoid(logits)
@@ -80,28 +90,33 @@ class Bernoulli(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return self.probs
 
 
 class Binomial(Distribution):
+    """Successes in ``total_count`` Bernoulli trials."""
     def __init__(self, total_count, probs):
         self.total_count, self.probs = total_count, probs
         self._batch_shape = self._broadcast_batch_shape(total_count, probs)
         self.support = C.IntegerInterval(0, None)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.binomial(
             key, _f(self.total_count), _f(self.probs), shape
         ).astype(jnp.int32)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         n, p, k = _f(self.total_count), _f(self.probs), _f(value)
         log_comb = jsp.gammaln(n + 1.0) - jsp.gammaln(k + 1.0) - jsp.gammaln(n - k + 1.0)
         return log_comb + k * jnp.log(p) + (n - k) * jnp.log1p(-p)
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return _f(self.total_count) * _f(self.probs)
 
 
@@ -119,6 +134,7 @@ class NegativeBinomial(Distribution):
         self._batch_shape = self._broadcast_batch_shape(mean, concentration)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         k_gamma, k_pois = jax.random.split(key)
         r, mu = _f(self.concentration), _f(self._mean_param)
@@ -126,6 +142,7 @@ class NegativeBinomial(Distribution):
         return jax.random.poisson(k_pois, g, shape)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         r, mu, k = _f(self.concentration), _f(self._mean_param), _f(value)
         log_p = jnp.log(mu) - jnp.log(mu + r)  # success prob of each count
         log_1mp = jnp.log(r) - jnp.log(mu + r)
@@ -139,10 +156,12 @@ class NegativeBinomial(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return _f(self._mean_param)
 
     @property
     def variance(self):
+        """Variance of the distribution."""
         mu, r = _f(self._mean_param), _f(self.concentration)
         return mu + mu * mu / r
 
@@ -161,23 +180,28 @@ class Categorical(Distribution):
 
     @property
     def logits(self):
+        """Logit parameterization (derived from probs if needed)."""
         return self._logits - jax.nn.logsumexp(self._logits, axis=-1, keepdims=True)
 
     @property
     def probs(self):
+        """Probability parameterization (derived from logits if needed)."""
         return jax.nn.softmax(self._logits, axis=-1)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.categorical(key, self._logits, shape=shape)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         norm = self.logits
         value = jnp.asarray(value, dtype=jnp.int32)
         return jnp.take_along_axis(norm, value[..., None], axis=-1)[..., 0]
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         k = self._logits.shape[-1]
         return jnp.sum(self.probs * jnp.arange(k), axis=-1)
 
@@ -196,6 +220,7 @@ class Multinomial(Distribution):
         self.support = C.IntegerInterval(0, None)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         n = int(self.total_count) if jnp.ndim(self.total_count) == 0 else None
         if n is None:
@@ -219,6 +244,7 @@ class Multinomial(Distribution):
         return jnp.stack(counts, axis=-1).astype(jnp.int32)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         n = _f(self.total_count)
         k = _f(value)
         p = _f(self.probs)
@@ -230,6 +256,7 @@ class Multinomial(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return _f(self.total_count)[..., None] * _f(self.probs)
 
 
@@ -261,6 +288,7 @@ class BetaBinomial(Distribution):
         self.support = C.IntegerInterval(0, None)
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         k_beta, k_binom = jax.random.split(key)
         p = jax.random.beta(
@@ -271,6 +299,7 @@ class BetaBinomial(Distribution):
         ).astype(jnp.int32)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         a, b = _f(self.concentration1), _f(self.concentration0)
         n, k = _f(self.total_count), _f(value)
 
@@ -286,11 +315,13 @@ class BetaBinomial(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         a, b = _f(self.concentration1), _f(self.concentration0)
         return _f(self.total_count) * a / (a + b)
 
     @property
     def variance(self):
+        """Variance of the distribution."""
         a, b = _f(self.concentration1), _f(self.concentration0)
         n = _f(self.total_count)
         s = a + b
@@ -313,6 +344,7 @@ class ZeroInflatedDistribution(Distribution):
         self.support = base_dist.support
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         shape = tuple(sample_shape) + self.batch_shape
         k_gate, k_base = jax.random.split(key)
         dropped = jax.random.bernoulli(
@@ -322,6 +354,7 @@ class ZeroInflatedDistribution(Distribution):
         return jnp.where(dropped, jnp.zeros_like(draws), draws)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         gate = _f(self.gate)
         log_gate, log1m_gate = jnp.log(gate), jnp.log1p(-gate)
         lp_base = self.base_dist.log_prob(value)
@@ -333,6 +366,7 @@ class ZeroInflatedDistribution(Distribution):
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return (1.0 - _f(self.gate)) * self.base_dist.mean
 
 

@@ -27,27 +27,34 @@ class Distribution:
 
     @property
     def batch_shape(self) -> Tuple[int, ...]:
+        """Shape of independent parameter batches."""
         return getattr(self, "_batch_shape", ())
 
     @property
     def event_shape(self) -> Tuple[int, ...]:
+        """Shape of a single atomic event."""
         return getattr(self, "_event_shape", ())
 
     def shape(self, sample_shape=()) -> Tuple[int, ...]:
+        """``sample_shape + batch_shape + event_shape``."""
         return tuple(sample_shape) + self.batch_shape + self.event_shape
 
     def sample(self, key: jax.Array, sample_shape=()) -> jax.Array:
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         raise NotImplementedError
 
     def log_prob(self, value) -> jax.Array:
+        """Elementwise log-density of ``value``."""
         raise NotImplementedError
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         raise NotImplementedError
 
     @property
     def variance(self):
+        """Variance of the distribution."""
         raise NotImplementedError
 
     def __call__(self, key, sample_shape=()):
@@ -76,6 +83,7 @@ class ExpandedDistribution(Distribution):
     def sample(self, key, sample_shape=()):
         # the base's own batch dims align with the tail of the expanded
         # shape; draw only the leading expansion and broadcast the rest
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         lead = self._batch_shape[
             : len(self._batch_shape) - len(self.base_dist.batch_shape)
         ]
@@ -84,10 +92,12 @@ class ExpandedDistribution(Distribution):
         return jnp.broadcast_to(draws, target)
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         return self.base_dist.log_prob(value)
 
     @property
     def mean(self):
+        """Mean of the distribution."""
         return jnp.broadcast_to(
             self.base_dist.mean, self._batch_shape + self._event_shape
         )
@@ -114,12 +124,14 @@ class TransformedDistribution(Distribution):
         self._event_shape = base_distribution.event_shape
 
     def sample(self, key, sample_shape=()):
+        """Draw samples with ``key``; shape ``sample_shape + shape()``."""
         x = self.base_dist.sample(key, sample_shape)
         for t in self.transforms:
             x = t(x)
         return x
 
     def log_prob(self, value):
+        """Elementwise log-density of ``value``."""
         value = jnp.asarray(value)
         # walk backwards to the base space, accumulating jacobian corrections
         y = value
@@ -133,6 +145,7 @@ class TransformedDistribution(Distribution):
     @property
     def mean(self):
         # only exact for affine-only transform chains; used by init heuristics.
+        """Mean of the distribution."""
         x = self.base_dist.mean
         for t in self.transforms:
             x = t(x)
@@ -156,12 +169,14 @@ class Unit(Distribution):
         self._event_shape = (0,)
 
     def sample(self, key, sample_shape=()):
+        """Return the empty value (no randomness; shape ``(*batch, 0)``)."""
         return jnp.empty(
             tuple(sample_shape) + self.batch_shape + (0,),
             dtype=self.log_factor.dtype,
         )
 
     def log_prob(self, value):
+        """The stored ``log_factor`` (ignores ``value``)."""
         return self.log_factor
 
 
@@ -193,11 +208,13 @@ class Delta(Distribution):
         self._event_shape = shape[split:]
 
     def sample(self, key, sample_shape=()):
+        """Return the fixed ``value`` broadcast to the sample shape."""
         return jnp.broadcast_to(
             self.value, tuple(sample_shape) + jnp.shape(self.value)
         )
 
     def log_prob(self, value):
+        """``log_density`` broadcast over the batch shape only."""
         batch = jnp.shape(value)[: jnp.ndim(value) - self.event_dim]
         return jnp.broadcast_to(
             jnp.asarray(self._log_density, dtype=jnp.result_type(float)),
@@ -206,6 +223,7 @@ class Delta(Distribution):
 
     @property
     def mean(self):
+        """The point-mass location."""
         return self.value
 
 

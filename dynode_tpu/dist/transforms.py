@@ -24,6 +24,7 @@ class Transform:
         raise NotImplementedError
 
     def inv(self, y):
+        """Apply the inverse transform (subclasses implement)."""
         raise NotImplementedError
 
     def log_abs_det_jacobian(self, x, y):
@@ -32,15 +33,18 @@ class Transform:
 
 
 class IdentityTransform(Transform):
+    """No-op transform (``y = x``)."""
     codomain = C.real
 
     def __call__(self, x):
         return x
 
     def inv(self, y):
+        """Apply the inverse transform."""
         return y
 
     def log_abs_det_jacobian(self, x, y):
+        """``log|det J|`` of the forward map at ``(x, y)``."""
         return jnp.zeros_like(jnp.asarray(x))
 
 
@@ -68,9 +72,11 @@ class AffineTransform(Transform):
         return self.loc + self.scale * x
 
     def inv(self, y):
+        """Apply the inverse transform."""
         return (y - self.loc) / self.scale
 
     def log_abs_det_jacobian(self, x, y):
+        """``log|det J|`` of the forward map at ``(x, y)``."""
         return jnp.broadcast_to(
             jnp.log(jnp.abs(jnp.asarray(self.scale, dtype=jnp.result_type(float)))),
             jnp.shape(x),
@@ -86,9 +92,11 @@ class ExpTransform(Transform):
         return jnp.exp(x)
 
     def inv(self, y):
+        """Apply the inverse transform."""
         return jnp.log(y)
 
     def log_abs_det_jacobian(self, x, y):
+        """``log|det J|`` of the forward map at ``(x, y)``."""
         return jnp.asarray(x)
 
 
@@ -101,10 +109,12 @@ class SigmoidTransform(Transform):
         return 1.0 / (1.0 + jnp.exp(-x))
 
     def inv(self, y):
+        """Apply the inverse transform."""
         return jnp.log(y) - jnp.log1p(-y)
 
     def log_abs_det_jacobian(self, x, y):
         # log sigmoid'(x) = log(y) + log(1-y) = -softplus(-x) - softplus(x)
+        """``log|det J|`` of the forward map at ``(x, y)``."""
         x = jnp.asarray(x)
         return -jnp.logaddexp(0.0, -x) - jnp.logaddexp(0.0, x)
 
@@ -128,6 +138,7 @@ class StickBreakingTransform(Transform):
         return jnp.concatenate([head, z1m_cumprod[..., -1:]], axis=-1)
 
     def inv(self, p):
+        """Apply the inverse transform."""
         k = p.shape[-1]
         p_head = p[..., :-1]
         remaining = 1.0 - jnp.concatenate(
@@ -141,6 +152,7 @@ class StickBreakingTransform(Transform):
     def log_abs_det_jacobian(self, x, y):
         # sum_i [log remaining_i + log z_i + log(1 - z_i)], reduced over the
         # event axis (the transform is multivariate)
+        """``log|det J|`` of the forward map at ``(x, y)``."""
         k = x.shape[-1] + 1
         offsets = jnp.log(jnp.arange(k - 1, 0, -1, dtype=x.dtype))
         t = x - offsets
@@ -166,11 +178,13 @@ class ComposeTransform(Transform):
         return x
 
     def inv(self, y):
+        """Apply the inverse transform."""
         for p in reversed(self.parts):
             y = p.inv(y)
         return y
 
     def log_abs_det_jacobian(self, x, y):
+        """``log|det J|`` of the forward map at ``(x, y)``."""
         total = 0.0
         for p in self.parts:
             x_next = p(x)

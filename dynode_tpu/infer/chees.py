@@ -106,6 +106,7 @@ def velocity_bank(inv_mass, r):
     return r @ inv_mass  # inv_mass symmetric
 
 def kinetic_bank(inv_mass, r):
+    """Per-chain kinetic energy of the momentum bank."""
     return 0.5 * jnp.sum(r * velocity_bank(inv_mass, r), axis=-1)
 
 
@@ -142,6 +143,7 @@ def _halton(i):
 
 
 class ChEESBankState(NamedTuple):
+    """Carry of the vectorized ChEES transition (the whole chain bank)."""
     z: jax.Array  # (C, D)
     potential: jax.Array  # (C,)
     grad: jax.Array  # (C, D)
@@ -162,6 +164,7 @@ class _TransitionAux(NamedTuple):
 
 
 def init_bank_state(pot_and_grad_bank, z0s, rng_key) -> ChEESBankState:
+    """Initial bank state (potential + gradient) at the given positions."""
     pe, grad = pot_and_grad_bank(z0s)
     C = z0s.shape[0]
     zerosC = jnp.zeros((C,), z0s.dtype)
@@ -272,6 +275,7 @@ def chees_rate_grad(z_old, aux: _TransitionAux):
 
 
 class TrajAdaptState(NamedTuple):
+    """Adam carry for log-trajectory-length (ChEES criterion) adaptation."""
     log_t: jax.Array  # current log trajectory length
     log_t_avg: jax.Array  # trailing (iterate-averaged) value
     m: jax.Array  # Adam first moment
@@ -280,6 +284,7 @@ class TrajAdaptState(NamedTuple):
 
 
 def traj_adapt_init(t0):
+    """Fresh trajectory-adaptation state centered on ``t0``."""
     log_t = jnp.log(t0)
     z = jnp.zeros_like(log_t)
     return TrajAdaptState(log_t, log_t, z, z, z)

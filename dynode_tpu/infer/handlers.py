@@ -61,6 +61,7 @@ class seed(Messenger):
             self.rng_key = rng_seed
 
     def process_message(self, msg):
+        """Apply this handler's effect to an incoming site message."""
         if msg["type"] == "sample" and msg["rng_key"] is None and msg["value"] is None:
             self.rng_key, site_key = jax.random.split(self.rng_key)
             msg["rng_key"] = site_key
@@ -78,6 +79,7 @@ class trace(Messenger):
         return self.sites
 
     def postprocess_message(self, msg):
+        """Observe/record the finalized site message."""
         name = msg["name"]
         if name in self.sites:
             raise ValueError(f"duplicate site name {name!r} in one model trace")
@@ -97,6 +99,7 @@ class substitute(Messenger):
         self.data = data or {}
 
     def process_message(self, msg):
+        """Apply this handler's effect to an incoming site message."""
         if msg["type"] in ("sample", "param") and msg["value"] is None:
             if msg["name"] in self.data:
                 msg["value"] = self.data[msg["name"]]
@@ -109,6 +112,7 @@ class condition(Messenger):
         self.data = data or {}
 
     def process_message(self, msg):
+        """Apply this handler's effect to an incoming site message."""
         if msg["type"] == "sample" and msg["name"] in self.data:
             msg["value"] = self.data[msg["name"]]
             msg["is_observed"] = True
@@ -143,6 +147,7 @@ class reparam(Messenger):
         self.config = dict(config)
 
     def process_message(self, msg):
+        """Apply this handler's effect to an incoming site message."""
         if msg["type"] != "sample" or msg["is_observed"]:
             return
         strategy = self.config.get(msg["name"])
@@ -181,6 +186,7 @@ class do(Messenger):
         self.data = dict(data or {})
 
     def process_message(self, msg):
+        """Apply this handler's effect to an incoming site message."""
         if msg["type"] != "sample" or msg.get("_do_original"):
             return
         if msg["name"] not in self.data:
@@ -231,6 +237,7 @@ class uncondition(Messenger):
     """
 
     def process_message(self, msg):
+        """Apply this handler's effect to an incoming site message."""
         if msg["type"] == "sample" and msg["is_observed"]:
             obs_shape = jnp.shape(msg["value"])
             fn = msg["fn"]
@@ -261,6 +268,7 @@ class mask(Messenger):
         self.mask = mask
 
     def process_message(self, msg):
+        """Apply this handler's effect to an incoming site message."""
         if msg["type"] == "sample":
             m = jnp.asarray(self.mask, dtype=bool)
             prev = msg.get("mask")
@@ -279,6 +287,7 @@ class scale(Messenger):
         self.scale = scale
 
     def process_message(self, msg):
+        """Apply this handler's effect to an incoming site message."""
         if msg["type"] == "sample":
             msg["scale"] = msg.get("scale", 1.0) * self.scale
 
@@ -385,6 +394,7 @@ class plate(Messenger):
             self.dim = None
 
     def process_message(self, msg):
+        """Apply this handler's effect to an incoming site message."""
         if msg["type"] == "sample":
             msg.setdefault("cond_indep_stack", []).append(
                 (self.name, self.size, self.dim)

@@ -40,6 +40,7 @@ def velocity(inv_mass, r):
 
 
 def kinetic_energy(inv_mass, r):
+    """Momentum kinetic energy under the inverse mass matrix."""
     return 0.5 * jnp.dot(r, velocity(inv_mass, r))
 
 
@@ -53,6 +54,7 @@ def sample_momentum(inv_mass, chol_inv, key, dtype):
 
 
 def chol_of_inv(inv_mass):
+    """Cholesky factor used to draw momenta for the given mass matrix."""
     if inv_mass.ndim == 1:
         return jnp.sqrt(inv_mass)
     return jnp.linalg.cholesky(inv_mass)
@@ -72,6 +74,7 @@ def is_turning(inv_mass, r_left, r_right, r_sum):
 
 
 class IntegratorState(NamedTuple):
+    """Leapfrog carry: position, momentum, potential, gradient."""
     z: jax.Array
     r: jax.Array
     potential: jax.Array
@@ -79,6 +82,7 @@ class IntegratorState(NamedTuple):
 
 
 def leapfrog(pot_and_grad: Callable, inv_mass, eps, state: IntegratorState):
+    """One leapfrog step of the Hamiltonian integrator."""
     r_half = state.r - 0.5 * eps * state.grad
     z_new = state.z + eps * velocity(inv_mass, r_half)
     pe_new, grad_new = pot_and_grad(z_new)
@@ -233,6 +237,7 @@ def _build_subtree(
 
 
 class HMCState(NamedTuple):
+    """Per-chain NUTS carry across transitions."""
     z: jax.Array
     potential: jax.Array
     grad: jax.Array
@@ -244,6 +249,7 @@ class HMCState(NamedTuple):
 
 
 def init_state(pot_and_grad, z0, rng_key) -> HMCState:
+    """Initial HMC state (potential and gradient evaluated) at ``z``."""
     pe, grad = pot_and_grad(z0)
     zero = jnp.zeros((), z0.dtype)
     return HMCState(
@@ -266,6 +272,8 @@ def nuts_transition(
     max_depth: int,
     state: HMCState,
 ) -> HMCState:
+    """One NUTS transition: iterative tree doubling with multinomial sampling.
+    """
     dtype = state.z.dtype
     key, k_mom = jax.random.split(state.rng_key)
     r0 = sample_momentum(inv_mass, chol_inv, k_mom, dtype)
@@ -383,6 +391,7 @@ def find_reasonable_step_size(pot_and_grad, inv_mass, chol_inv, state, key):
 
 
 class DAState(NamedTuple):
+    """Dual-averaging carry for step-size adaptation."""
     log_eps: jax.Array
     log_eps_avg: jax.Array
     h_avg: jax.Array
@@ -391,6 +400,7 @@ class DAState(NamedTuple):
 
 
 def da_init(eps):
+    """Fresh dual-averaging state anchored at ``mu = log(10 * eps0)``."""
     log_eps = jnp.log(eps)
     return DAState(
         log_eps=log_eps,
@@ -402,6 +412,7 @@ def da_init(eps):
 
 
 def da_update(da: DAState, accept_prob, target=0.8, gamma=0.05, t0=10.0, kappa=0.75):
+    """Dual-averaging update toward the target acceptance statistic."""
     t = da.t + 1.0
     h_avg = (1.0 - 1.0 / (t + t0)) * da.h_avg + (target - accept_prob) / (t + t0)
     log_eps = da.mu - jnp.sqrt(t) / gamma * h_avg
@@ -415,17 +426,20 @@ def da_update(da: DAState, accept_prob, target=0.8, gamma=0.05, t0=10.0, kappa=0
 
 
 class WelfordState(NamedTuple):
+    """Streaming (co)variance accumulator carry."""
     mean: jax.Array
     m2: jax.Array  # (D,) or (D, D)
     n: jax.Array
 
 
 def welford_init(D, dense, dtype):
+    """Zeroed Welford accumulator (diagonal or dense)."""
     m2 = jnp.zeros((D, D), dtype) if dense else jnp.zeros((D,), dtype)
     return WelfordState(jnp.zeros((D,), dtype), m2, jnp.zeros((), dtype))
 
 
 def welford_update(w: WelfordState, x):
+    """Fold one sample into the Welford accumulator."""
     n = w.n + 1.0
     delta = x - w.mean
     mean = w.mean + delta / n

@@ -32,6 +32,8 @@ class InferenceData:
     attrs: Dict[str, Any] = field(default_factory=dict)
 
     def groups(self):
+        """Names of the stored groups (``posterior``, ``sample_stats``, ...).
+        """
         return [
             name
             for name in (

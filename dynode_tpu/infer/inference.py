@@ -50,16 +50,19 @@ class InferenceProcess(BaseModel):
     _infer_calls: int = PrivateAttr(default=0)
 
     def infer(self, **kwargs):
+        """Run inference (abstract; subclasses implement)."""
         raise NotImplementedError(
             "Inference process not implemented, please use a subclass."
         )
 
     def get_samples(self, group_by_chain=False, exclude_deterministic=True):
+        """Posterior samples (abstract; subclasses implement)."""
         raise NotImplementedError(
             "get_samples() process not implemented, please use a subclass."
         )
 
     def to_arviz(self) -> InferenceData:
+        """Convert results to :class:`InferenceData` (abstract)."""
         raise NotImplementedError(
             "to_arviz not implemented for abstract InferenceProcess, use subclass"
         )

@@ -1071,6 +1071,7 @@ class MCMC:
         }
 
     def get_extra_fields(self, group_by_chain: bool = False):
+        """Per-draw sampler statistics (``diverging``, ``num_steps``, ...)."""
         assert self._extra_fields is not None, "run() first"
         if group_by_chain:
             return dict(self._extra_fields)
@@ -1125,6 +1126,8 @@ class MCMC:
         return self.last_state, self._tuned
 
     def print_summary(self):
+        """Print a per-site posterior summary (mean/std/quantiles/ESS/r_hat).
+        """
         from .diagnostics import summary
 
         stats = summary(self.get_samples(group_by_chain=True))

@@ -30,12 +30,14 @@ from .util import (
 
 
 class SVIState(NamedTuple):
+    """Optimizer + RNG carry of an SVI run."""
     params: Dict[str, Any]
     opt_state: Any
     rng_key: jax.Array
 
 
 class SVIRunResult(NamedTuple):
+    """Final state and per-step loss trace of :meth:`SVI.run`."""
     params: Dict[str, Any]
     state: SVIState
     losses: jax.Array
@@ -89,6 +91,7 @@ class Trace_ELBO:
         self.num_particles = num_particles
 
     def loss(self, rng_key, params, model, guide, *args, **kwargs):
+        """Monte-Carlo ELBO loss (negative evidence lower bound) estimate."""
         def particle(key):
             with handlers.trace() as guide_tr, handlers.seed(key), \
                     handlers.substitute(params):
@@ -256,6 +259,8 @@ AutoContinuous = AutoGuide
 
 
 class SVI:
+    """Stochastic variational inference driver (numpyro-style API: init/update/run).
+    """
     def __init__(self, model, guide, optim, loss: Optional[Trace_ELBO] = None):
         self.model = model
         self.guide = guide
@@ -319,6 +324,7 @@ class SVI:
         return SVIRunResult(params=state.params, state=state, losses=losses)
 
     def get_params(self, state: SVIState):
+        """Constrained parameter values from an :class:`SVIState`."""
         return state.params
 
     def run_multistart(

@@ -34,6 +34,7 @@ from ..utils import vectorize_objects
 
 @pytree_dataclass(static_fieldnames=("idx",))
 class MultiStrainParams(AbstractODEParams):
+    """ODE parameter pytree of the multi-strain SEIRS model."""
     beta: jnp.ndarray  # (K,)
     sigma: jnp.ndarray  # (K,)
     gamma: jnp.ndarray  # (K,)
@@ -73,6 +74,7 @@ class MultiStrainInitializer(Initializer):
     age_demographics: Sequence[float] = (0.75, 0.25)
 
     def get_initial_state(self, config: SimulationConfig, **kwargs) -> CompartmentState:
+        """Initial (S, E, I, R, C) compartments from demographics and seeds."""
         demo = jnp.asarray(self.age_demographics)
         s0 = self.population_size * self.s0_prop * demo
         e0 = jnp.zeros(config.get_compartment("e").shape)
@@ -164,6 +166,7 @@ def multistrain_odeparams(config: SimulationConfig) -> MultiStrainParams:
 
 
 def multistrain_initial_state(config: SimulationConfig) -> CompartmentState:
+    """Initial compartment tuple for a ``multistrain_config`` config."""
     return config.initializer.get_initial_state(config)
 
 

@@ -281,6 +281,7 @@ class SEIPInitializer(Initializer):
     i0_prop: float = 1e-3
 
     def get_initial_state(self, config: SimulationConfig, **kwargs) -> CompartmentState:
+        """Initial (S, E, I, C) with layered immune-history strata."""
         s_shape = config.get_compartment("s").shape
         e_shape = config.get_compartment("e").shape
         A, J, K, M = s_shape
@@ -549,6 +550,7 @@ def seip_odeparams(
 
 
 def seip_initial_state(config: SimulationConfig) -> CompartmentState:
+    """Initial compartment tuple for a ``seip_config`` config."""
     return config.initializer.get_initial_state(config)
 
 

@@ -37,6 +37,7 @@ class SeasonalityParams:
 
 @pytree_dataclass
 class SEIRSParams(AbstractODEParams):
+    """ODE parameter pytree of the SEIRS model."""
     beta: jnp.ndarray
     sigma: jnp.ndarray  # 1 / latent_period
     gamma: jnp.ndarray  # 1 / infectious_period
@@ -75,10 +76,12 @@ def seirs_seasonal_ode(t, state: CompartmentState, p: SEIRSParams):
 
 
 class SEIRSInitializer(Initializer):
+    """Proportion-based SEIRS initial-state builder."""
     s0_prop: float = 0.99
     i0_prop: float = 0.01
 
     def get_initial_state(self, **kwargs) -> CompartmentState:
+        """Initial (S, E, I, R) from proportions and demographics."""
         s0 = jnp.array([self.population_size * self.s0_prop])
         i0 = jnp.array([self.population_size * self.i0_prop])
         zero = jnp.zeros_like(s0)

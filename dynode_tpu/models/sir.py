@@ -53,6 +53,7 @@ class ProportionInitializer(Initializer):
     age_demographics: Sequence[float] = (1.0,)
 
     def get_initial_state(self, **kwargs) -> CompartmentState:
+        """Initial (S, I, R) from proportions and demographics."""
         demo = jnp.asarray(self.age_demographics)
         s0 = self.population_size * self.s0_prop * demo
         i0 = self.population_size * self.i0_prop * demo

@@ -38,6 +38,7 @@ class AbstractStepSizeController:
     jump_ts: Optional[jnp.ndarray] = None
 
     def init_dt(self, term, solver, t0, t1, y0, f0, args, dt0):
+        """Choose the initial step size for a solve."""
         raise NotImplementedError
 
     def adapt(self, err_norm, dt, solver):
@@ -51,11 +52,13 @@ class ConstantStepSize(AbstractStepSizeController):
     adaptive = False
 
     def init_dt(self, term, solver, t0, t1, y0, f0, args, dt0):
+        """The configured constant ``dt``."""
         if dt0 is None:
             raise ValueError("ConstantStepSize requires an explicit dt0")
         return jnp.asarray(dt0, dtype=jnp.result_type(float))
 
     def adapt(self, err_norm, dt, solver):
+        """Always accept; ``dt`` never changes."""
         return jnp.asarray(True), jnp.asarray(1.0, dtype=jnp.result_type(float))
 
     def __hash__(self):
@@ -95,6 +98,8 @@ class PIDController(AbstractStepSizeController):
         self.dtmax = dtmax
 
     def init_dt(self, term, solver, t0, t1, y0, f0, args, dt0):
+        """Hairer-style automatic initial ``dt`` (or the user-provided ``dt0``).
+        """
         if dt0 is not None:
             return jnp.asarray(dt0, dtype=jnp.result_type(float))
         return select_initial_step(
@@ -103,6 +108,8 @@ class PIDController(AbstractStepSizeController):
 
     def adapt(self, err_norm, dt, solver):
         # guard err_norm == 0 (e.g. exact solutions / masked steps)
+        """Accept/reject and propose the next ``dt`` from the scaled error norm.
+        """
         safe_norm = jnp.maximum(err_norm, jnp.finfo(jnp.result_type(float)).tiny)
         exponent = 1.0 / solver.err_order
         factor = jnp.clip(
@@ -112,6 +119,7 @@ class PIDController(AbstractStepSizeController):
         return accept, factor
 
     def clamp_dt(self, dt):
+        """Clamp ``dt`` into the configured ``[dtmin, dtmax]``."""
         if self.dtmin is not None:
             dt = jnp.maximum(dt, self.dtmin)
         if self.dtmax is not None:
@@ -159,15 +167,20 @@ class ClipStepSizeController(AbstractStepSizeController):
 
     @property
     def adaptive(self):
+        """Whether the wrapped controller adapts ``dt``."""
         return self.controller.adaptive
 
     def init_dt(self, term, solver, t0, t1, y0, f0, args, dt0):
+        """Delegate to the wrapped controller."""
         return self.controller.init_dt(term, solver, t0, t1, y0, f0, args, dt0)
 
     def adapt(self, err_norm, dt, solver):
+        """Delegate to the wrapped controller (clipping happens in the engine).
+        """
         return self.controller.adapt(err_norm, dt, solver)
 
     def clamp_dt(self, dt):
+        """Delegate to the wrapped controller's clamp when it has one."""
         clamp = getattr(self.controller, "clamp_dt", None)
         return clamp(dt) if clamp is not None else dt
 

@@ -55,11 +55,13 @@ class AbstractImplicitSolver(AbstractSolver):
         # raw increment is not separately available; compensated summation
         # degrades gracefully (Sterbenz-exact for small steps) rather than
         # being refused for stiff solvers
+        """Increment form via difference (implicit stages solve for ``y1``)."""
         y1, err, f1 = self.step(term, t, dt, y, args, f0=f0)
         inc = jax.tree_util.tree_map(lambda a, b: a - b, y1, y)
         return inc, err, f1
 
     def step(self, term: ODETerm, t, dt, y, args, f0=None):
+        """One ESDIRK step: simplified-Newton stage solves + embedded error."""
         yflat, unravel = ravel_pytree(y)
         n = yflat.shape[0]
         dtype = yflat.dtype

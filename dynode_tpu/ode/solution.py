@@ -33,6 +33,7 @@ class Solution:
 
     @property
     def success(self):
+        """True when the solve finished within budget (``result == 0``)."""
         return self.result == RESULT_SUCCESS
 
 

@@ -26,6 +26,7 @@ class ODETerm:
         self.vector_field = vector_field
 
     def vf(self, t, y, args):
+        """Evaluate the vector field at ``(t, y, args)``."""
         return self.vector_field(t, y, args)
 
     def __hash__(self):
@@ -73,6 +74,7 @@ class AbstractSolver:
 
     @property
     def stages(self) -> int:
+        """Number of RK stages (length of ``b``)."""
         return len(self.b)
 
     # solvers are stateless: hash/eq by class so jit caches across instances

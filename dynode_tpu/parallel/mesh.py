@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
 def default_device_count() -> int:
+    """Number of visible JAX devices."""
     return len(jax.devices())
 
 

@@ -33,6 +33,7 @@ MODULES = [
     "dynode_tpu.ops.generic_pallas",
     "dynode_tpu.ops.multistrain_pallas",
     "dynode_tpu.ops.seip_pallas",
+    "dynode_tpu.ops.sharded",
     "dynode_tpu.parallel",
     "dynode_tpu.utils",
 ]
