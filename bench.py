@@ -786,9 +786,10 @@ def main():
         _refresh()
         _emit(result)
 
-    # ---- stage 3: inference rows (ESS/s + matched quality) --------------
+    # ---- stage 3: ESS/s (TPU-side ChEES; matched quality runs later -----
+    # because its CPU-side NUTS is hostage to host core count/load) -------
     nuts_model = None
-    if not SMALL and _have(420, "ess_per_sec (ChEES) + matched quality"):
+    if not SMALL and _have(300, "ess_per_sec (ChEES)"):
         try:
             import numpy as np
 
@@ -805,17 +806,6 @@ def main():
             result["ess_per_sec"] = round(ess_per_sec, 1)
         except Exception as e:
             print(f"[bench] ESS measurement failed: {e}", file=sys.stderr)
-        try:
-            if nuts_model is not None:
-                mq, mq_tuned, *_ = bench_nuts.bench_matched_quality(
-                    nuts_model, obs
-                )
-                result["matched_quality_speedup"] = round(mq, 1)
-                result["matched_quality_speedup_tuned_cpu"] = round(
-                    mq_tuned, 1
-                )
-        except Exception as e:
-            print(f"[bench] matched-quality failed: {e}", file=sys.stderr)
         _emit(result)
 
     # ---- stage 4: production SEIP model rows ----------------------------
@@ -857,7 +847,21 @@ def main():
             print(f"[bench] oneshot row failed: {e}", file=sys.stderr)
         _emit(result)
 
-    # ---- stage 6: secondary rows, cheapest-first within priority --------
+    # ---- stage 6: matched quality (the only host-CPU-bound headline:
+    # last of the headline rows so a slow/loaded host cannot starve the
+    # pure-TPU record; ~3 min on the reference-class driver host) ---------
+    if nuts_model is not None and _have(300, "matched quality (CPU NUTS)"):
+        try:
+            mq, mq_tuned, *_ = bench_nuts.bench_matched_quality(
+                nuts_model, obs
+            )
+            result["matched_quality_speedup"] = round(mq, 1)
+            result["matched_quality_speedup_tuned_cpu"] = round(mq_tuned, 1)
+        except Exception as e:
+            print(f"[bench] matched-quality failed: {e}", file=sys.stderr)
+        _emit(result)
+
+    # ---- stage 7: secondary rows, cheapest-first within priority --------
     if _have(110, "generic_kernel_max (full rows)"):
         try:
             generic_tps = bench_generic_kernel(
