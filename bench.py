@@ -825,7 +825,10 @@ def main():
             for i in range(2):
                 t0 = time.perf_counter()
                 proc = subprocess.run(
-                    [sys.executable, "bench_nuts.py", "--oneshot"],
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "bench_nuts.py"),
+                     "--oneshot"],
                     capture_output=True, text=True, timeout=600,
                 )
                 walls.append(time.perf_counter() - t0)
@@ -987,7 +990,9 @@ def main():
         except Exception as e:
             print(f"[bench] lane-major XLA path failed: {e}", file=sys.stderr)
 
-    if nuts_model is not None and _have(420, "ess_per_sec_amortized"):
+    # measured once on TPU: 498s total on a loaded host (cold 315s incl
+    # trace + warm 131s at 50,144 ESS/s); budget the loaded-host case
+    if nuts_model is not None and _have(500, "ess_per_sec_amortized"):
         try:
             import numpy as np
 

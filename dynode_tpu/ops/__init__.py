@@ -30,6 +30,7 @@ from .multistrain_pallas import (
 from .sharded import (
     ensemble_solve_kernel_adaptive_sharded,
     ensemble_solve_kernel_sharded,
+    seip_ensemble_solve_adaptive_sharded,
     seip_ensemble_solve_sharded,
 )
 
@@ -37,6 +38,7 @@ __all__ = [
     "ensemble_solve_kernel_sharded",
     "ensemble_solve_kernel_adaptive_sharded",
     "seip_ensemble_solve_sharded",
+    "seip_ensemble_solve_adaptive_sharded",
     "ensemble_solve_tsit5",
     "ensemble_solve_reference",
     "ensemble_solve_kernel",

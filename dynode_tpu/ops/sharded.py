@@ -32,7 +32,7 @@ partitioning logic without TPU hardware.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,7 @@ __all__ = [
     "ensemble_solve_kernel_sharded",
     "ensemble_solve_kernel_adaptive_sharded",
     "seip_ensemble_solve_sharded",
+    "seip_ensemble_solve_adaptive_sharded",
 ]
 
 
@@ -176,6 +177,58 @@ def seip_ensemble_solve_sharded(
     )
     out_specs = jax.tree.map(
         lambda sd: P(*([None] * (len(sd.shape) - 1)), axis_name), shapes
+    )
+
+    return jax.shard_map(
+        local_solve, mesh=mesh, in_specs=(spec,), out_specs=out_specs,
+        check_vma=False,
+    )(beta_scales)
+
+
+def seip_ensemble_solve_adaptive_sharded(
+    y0,
+    params,
+    beta_scales,
+    *,
+    mesh: Mesh,
+    axis_name: str = "ensemble",
+    **kwargs,
+):
+    """Adaptive SEIP kernel over a mesh (lockstep BS3(2), error-controlled).
+
+    Same contract as :func:`seip_ensemble_solve_sharded`; returns
+    ``(outs, stats)`` like the single-chip entry, with the per-block
+    ``stats`` arrays concatenated device-major along the block axis. The
+    lockstep dt chain is per 1024-member block, which the device split
+    preserves (per-device batch is a multiple of 1024), so results are
+    bit-identical to the single-device kernel on TPU; the pure-lax
+    fallback runs one global block per device (tolerance-level agreement).
+    """
+    from .seip_pallas import seip_ensemble_solve_adaptive
+
+    if kwargs.get("packed"):
+        raise ValueError(
+            "packed=True is per-device layout; use packed=False when "
+            "sharding (or unpack per shard)"
+        )
+    beta_scales = jnp.asarray(beta_scales)
+    batch = beta_scales.shape[-1]
+    _check_batch(batch, mesh, axis_name)
+    spec = P(*([None] * (beta_scales.ndim - 1)), axis_name)
+
+    def local_solve(scales_loc):
+        return seip_ensemble_solve_adaptive(y0, params, scales_loc, **kwargs)
+
+    outs_shapes, stats_shapes = jax.eval_shape(
+        lambda s: local_solve(s),
+        jax.ShapeDtypeStruct(beta_scales.shape, beta_scales.dtype),
+    )
+    out_specs = (
+        jax.tree.map(
+            lambda sd: P(*([None] * (len(sd.shape) - 1)), axis_name),
+            outs_shapes,
+        ),
+        jax.tree.map(lambda sd: P(axis_name), stats_shapes),
     )
 
     return jax.shard_map(

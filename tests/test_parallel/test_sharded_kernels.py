@@ -118,6 +118,37 @@ def test_seip_sharded_bit_identical():
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
 
 
+def test_seip_adaptive_sharded_matches_tolerance():
+    from dynode_tpu.config import SolverParams
+    from dynode_tpu.models.seip import (
+        seip_config,
+        seip_initial_state,
+        seip_odeparams,
+    )
+    from dynode_tpu.ops import seip_ensemble_solve_adaptive_sharded
+    from dynode_tpu.ops.seip_pallas import seip_ensemble_solve_adaptive
+
+    mesh = create_mesh(("ensemble",))
+    cfg = seip_config(solver_params=SolverParams(constant_step_size=0.5))
+    base = seip_odeparams(cfg)
+    y0 = seip_initial_state(cfg)
+    scales = jnp.linspace(0.9, 1.1, 16)
+    kw = dict(duration=3, rtol=1e-4, atol=1e-3, save=(3,),
+              steps_per_save=16)
+    ref_outs, ref_stats = seip_ensemble_solve_adaptive(y0, base, scales, **kw)
+    got_outs, got_stats = seip_ensemble_solve_adaptive_sharded(
+        y0, base, scales, mesh=mesh, **kw
+    )
+    assert int(jnp.asarray(got_stats["exhausted_intervals"]).sum()) == 0
+    # one stats entry per device-local block (8 devices, 1 block each)
+    assert got_stats["exhausted_intervals"].shape == (8,)
+    np.testing.assert_allclose(
+        np.asarray(got_outs[0], dtype=np.float64),
+        np.asarray(ref_outs[0], dtype=np.float64),
+        rtol=5e-3, atol=1e-6,
+    )
+
+
 def test_seip_sharded_rejects_packed():
     mesh = create_mesh(("ensemble",))
     with pytest.raises(ValueError, match="packed"):
