@@ -170,7 +170,11 @@ def seip_ensemble_solve_sharded(
         return seip_ensemble_solve(y0, params, scales_loc, **kwargs)
 
     # each saved compartment comes back (T, *shape, B) member-last; derive
-    # the per-output P(None, ..., axis_name) specs from an abstract eval
+    # the per-output P(None, ..., axis_name) specs from an abstract eval.
+    # This traces the solve twice (eval_shape + shard_map) -- accepted:
+    # it is a one-time setup cost per jitted configuration, and deriving
+    # ranks structurally would have to mirror every save/packed variant
+    # of the kernel's output contract
     shapes = jax.eval_shape(
         lambda s: local_solve(s),
         jax.ShapeDtypeStruct(beta_scales.shape, beta_scales.dtype),
