@@ -164,18 +164,28 @@ def _rk_step_rows(rhs, y, p, t, dt, a, b, c, n_stages):
     ]
 
 
-def _rk_embedded_step_rows(rhs, y, p, t, dt, a, b, e, c, n_stages):
-    """One embedded FSAL RK attempt on rows: returns (y_new, err_rows).
+def _rk_embedded_step_rows(rhs, y, p, t, dt, a, b, e, c, n_stages, f0=None):
+    """One embedded FSAL RK attempt on rows: (y_new, err_rows, k_last).
 
     The last stage is evaluated at ``y_new`` (FSAL structure shared by both
     adaptive tableaus; ``b[last] == 0``) so the advanced solution costs
     ``n_stages - 1`` stage-input constructions.
+
+    ``f0``: optional precomputed first stage ``f(t, y)`` -- the First Same
+    As Last property: after an ACCEPT the returned ``k_last`` (evaluated
+    at ``y_new``) IS the next attempt's first stage, and after a REJECT
+    ``(t, y)`` are unchanged so the old first stage is still exact.
+    Reusing it cuts the steady-state cost from 4 to 3 RHS evals per BS3
+    attempt (callers maintain the f0 carry).
     """
     n_rows = len(y)
     n_sub = n_stages - 1
     ks = []
     for stage in range(n_sub):
         if stage == 0:
+            if f0 is not None:
+                ks.append(list(f0))
+                continue
             y_stage = y
         else:
             coeffs = a[stage - 1]
@@ -194,12 +204,13 @@ def _rk_embedded_step_rows(rhs, y, p, t, dt, a, b, e, c, n_stages):
         y[r] + dt * sum(b[j] * ks[j][r] for j in range(n_sub) if b[j] != 0.0)
         for r in range(n_rows)
     ]
-    ks.append(rhs(y_new, p, t + c[n_stages - 1] * dt))
+    k_last = list(rhs(y_new, p, t + c[n_stages - 1] * dt))
+    ks.append(k_last)
     err = [
         dt * sum(e[j] * ks[j][r] for j in range(n_stages) if e[j] != 0.0)
         for r in range(n_rows)
     ]
-    return y_new, err
+    return y_new, err, k_last
 
 
 def _check_save_rows(save_rows, n_rows):
@@ -509,6 +520,7 @@ def _solve_kernel_adaptive(
     flag_ref,
     y_scr,
     ac_scr,
+    f_scr,
     stage,
     sem,
     nrm_ref,
@@ -536,6 +548,12 @@ def _solve_kernel_adaptive(
 
     for r in range(n_rows):
         y_scr[r, :] = y_ref[r, :]
+    # seed the FSAL carry: one up-front f(t0, y0) eval, reused by every
+    # first stage thereafter (refreshed with k_last on each ACCEPT; exact
+    # after a REJECT since (t, y) are unchanged)
+    f_init = rhs([y_ref[r, :] for r in range(n_rows)], p, jnp.float32(t0))
+    for r in range(n_rows):
+        f_scr[r, :] = f_init[r]
     for j in range(len(save_rows), s_pad):  # zero padding rows once
         stage[j, :] = jnp.zeros_like(stage[j, :])
 
@@ -567,8 +585,9 @@ def _solve_kernel_adaptive(
             @pl.when(active)
             def _():
                 rows = [y_scr[r, :] for r in range(n_rows)]
-                y_new, err = _rk_embedded_step_rows(
-                    rhs, rows, p, t, dt_used, a, b, e, c, n_stages
+                y_new, err, k_last = _rk_embedded_step_rows(
+                    rhs, rows, p, t, dt_used, a, b, e, c, n_stages,
+                    f0=[f_scr[r, :] for r in range(n_rows)],
                 )
                 sq = None
                 for r in range(n_rows):
@@ -577,9 +596,14 @@ def _solve_kernel_adaptive(
                     )
                     q = err[r] / sc
                     sq = q * q if sq is None else sq + q * q
-                nrm_ref[0] = jnp.max(jnp.sqrt(sq * (1.0 / n_rows)))
+                norm_in = jnp.max(jnp.sqrt(sq * (1.0 / n_rows)))
+                nrm_ref[0] = norm_in
+                # same accept predicate the outer code derives from SMEM;
+                # on ACCEPT the FSAL carry becomes k_last (f at y_new)
+                good_in = jnp.isfinite(norm_in) & (norm_in <= 1.0)
                 for r in range(n_rows):
                     ac_scr[r, :] = y_new[r]
+                    f_scr[r, :] = jnp.where(good_in, k_last[r], f_scr[r, :])
 
             norm = nrm_ref[0]  # stale when inactive: every update is masked
             ok = jnp.isfinite(norm)
@@ -709,6 +733,9 @@ def _solve_pallas_adaptive(
         ],
         scratch_shapes=[
             pltpu.VMEM((d_pad, block_b), jnp.float32),
+            pltpu.VMEM((d_pad, block_b), jnp.float32),
+            # FSAL carry: f(t, y) of the live state (round 5: reusing it
+            # cuts BS3 from 4 to 3 RHS evals per steady-state attempt)
             pltpu.VMEM((d_pad, block_b), jnp.float32),
             pltpu.VMEM((s_pad, block_b), save_dtype),
             pltpu.SemaphoreType.DMA,
@@ -847,13 +874,13 @@ def ensemble_solve_kernel_adaptive_reference(
     i32 = jnp.int32
 
     def attempt(_, carry):
-        t, dt_next, y, na, nr, s_end = carry
+        t, dt_next, y, f0, na, nr, s_end = carry
         remaining = s_end - t
         active = remaining > eps
         dt_used = jnp.minimum(dt_next, remaining)
         landing = dt_used >= remaining - eps
-        y_new, err = _rk_embedded_step_rows(
-            rhs, list(y), p, t, dt_used, a, b, e, c, n_stages
+        y_new, err, k_last = _rk_embedded_step_rows(
+            rhs, list(y), p, t, dt_used, a, b, e, c, n_stages, f0=list(f0)
         )
         sq = None
         for r in range(n_rows):
@@ -874,23 +901,29 @@ def ensemble_solve_kernel_adaptive_reference(
         y_out = tuple(
             jnp.where(acc, yn, yo) for yn, yo in zip(y_new, y)
         )
+        # FSAL carry mirrors the kernel: k_last becomes f0 on ACCEPT,
+        # unchanged otherwise (exact after a REJECT: (t, y) unchanged)
+        f_out = tuple(
+            jnp.where(acc, kn, fo) for kn, fo in zip(k_last, f0)
+        )
         t_new = jnp.where(acc, jnp.where(landing, s_end, t + dt_used), t)
         na = na + acc.astype(i32)
         nr = nr + (active & ~acc).astype(i32)
-        return (t_new, dt_new, y_out, na, nr, s_end)
+        return (t_new, dt_new, y_out, f_out, na, nr, s_end)
 
     def run_interval(carry, s_end, k_attempts):
-        t, dt, y, na, nr, bad = carry
-        t, dt, y, na, nr, _ = jax.lax.fori_loop(
-            0, k_attempts, attempt, (t, dt, y, na, nr, s_end)
+        t, dt, y, f0, na, nr, bad = carry
+        t, dt, y, f0, na, nr, _ = jax.lax.fori_loop(
+            0, k_attempts, attempt, (t, dt, y, f0, na, nr, s_end)
         )
         reached = t >= s_end - eps
         bad = bad + (~reached).astype(i32)
-        return (t, dt, y, na, nr, bad), reached
+        return (t, dt, y, f0, na, nr, bad), reached
 
     y = tuple(y0_rows[r] for r in range(n_rows))
+    f_init = tuple(rhs(list(y), p, jnp.asarray(t0, f32)))
     carry = (
-        jnp.asarray(t0, f32), jnp.asarray(dt0, f32), y,
+        jnp.asarray(t0, f32), jnp.asarray(dt0, f32), y, f_init,
         jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32),
     )
     carry, reached1 = run_interval(
@@ -909,7 +942,7 @@ def ensemble_solve_kernel_adaptive_reference(
         outer, carry, jnp.arange(2, n_saves, dtype=f32)
     )
     saves = jnp.concatenate([y0_rows[None], first[None], rest], axis=0)
-    _, _, _, na, nr, bad = carry
+    _, _, _, _, na, nr, bad = carry
     stats = {
         "exhausted_intervals": bad[None],
         "n_accepted": na[None],
