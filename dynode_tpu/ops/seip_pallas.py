@@ -695,16 +695,25 @@ def _seip_kernel_adaptive(
 
     def make_attempt(s_end):
         def attempt(_, carry):
-            t, dt_next, na, nr = carry
+            t, dt_next, kv, na, nr = carry
             remaining = s_end - t
             active = remaining > eps
             dt_used = jnp.minimum(dt_next, remaining)
             landing = dt_used >= remaining - eps
 
+            # FSAL (round 5): after an ACCEPT, refs_k still holds k4 =
+            # f(t_new, y_new) -- exactly this attempt's k1 -- so no 6th
+            # VMEM group is needed; ``kv`` tracks whether refs_k is that
+            # valid first stage (an accepted predecessor) or stale (a
+            # rejection overwrote it with the rejected candidate's k4,
+            # or this is the first attempt of the solve).
+            @pl.when(active & (kv == 0))
+            def _():
+                rhs(refs_k, refs_y, t)  # k1 recompute only when stale
+
             @pl.when(active)
             def _():
-                # k1
-                rhs(refs_k, refs_y, t)
+                # k1 is in refs_k (reused via FSAL or just recomputed)
                 for ac, y, k in zip(refs_ac, refs_y, refs_k):
                     ac[...] = y[...] + (dt_used * (2.0 / 9.0)) * k[...]
                 for er, k in zip(refs_er, refs_k):
@@ -726,8 +735,8 @@ def _seip_kernel_adaptive(
                 for er, k in zip(refs_er, refs_k):
                     er[...] = er[...] - (dt_used / 9.0) * k[...]
                 # k4 = f(t+dt, y_new): the embedded 2nd-order estimate's
-                # extra stage (BS3's FSAL stage; FSAL reuse would need a
-                # 6th VMEM group to survive rejections, which doesn't fit)
+                # extra stage (BS3's FSAL stage; on accept it IS the next
+                # attempt's k1 -- see the kv carry above)
                 rhs(refs_k, refs_ac, t + dt_used)
                 for er, k in zip(refs_er, refs_k):
                     er[...] = er[...] + (dt_used / 8.0) * k[...]
@@ -759,26 +768,31 @@ def _seip_kernel_adaptive(
             t_new = jnp.where(
                 acc, jnp.where(landing, s_end, t + dt_used), t
             )
+            # refs_k validity for the NEXT attempt: an accepted active
+            # attempt leaves k4 = f(t_new, y_new) in refs_k; a rejected
+            # one poisons it; inactive iterations touch nothing
+            kv = jnp.where(active, acc.astype(i32), kv)
             na = na + acc.astype(i32)
             nr = nr + (active & ~acc).astype(i32)
-            return (t_new, dt_new, na, nr)
+            return (t_new, dt_new, kv, na, nr)
 
         return attempt
 
     def run_interval(carry, s_end, k_attempts):
-        t, dt, na, nr, bad = carry
-        t, dt, na, nr = jax.lax.fori_loop(
-            0, k_attempts, make_attempt(s_end), (t, dt, na, nr)
+        t, dt, kv, na, nr, bad = carry
+        t, dt, kv, na, nr = jax.lax.fori_loop(
+            0, k_attempts, make_attempt(s_end), (t, dt, kv, na, nr)
         )
         reached = t >= s_end - eps
         bad = bad + (~reached).astype(i32)
-        return (t, dt, na, nr, bad), reached
+        return (t, dt, kv, na, nr, bad), reached
 
     save(0, jnp.asarray(True))
 
     carry = (
         jnp.asarray(0.0, f32),
         jnp.asarray(dt0, f32),
+        jnp.zeros((), i32),  # kv: refs_k does not yet hold f(t0, y0)
         jnp.zeros((), i32),
         jnp.zeros((), i32),
         jnp.zeros((), i32),
@@ -802,7 +816,7 @@ def _seip_kernel_adaptive(
     carry = jax.lax.fori_loop(2, n_saves, outer, carry)
     wait_saves(n_saves - 1)
 
-    _, _, na, nr, bad = carry
+    _, _, _, na, nr, bad = carry
     col = jax.lax.broadcasted_iota(i32, (SUB, LANE), 1)
     flag_ref[0] = jnp.where(
         col == 0, bad, jnp.where(col == 1, na, jnp.where(col == 2, nr, 0))
